@@ -1,0 +1,174 @@
+"""Model layer tests: tokenizers, RoPE, attention, ViT forward, builder."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vit_tpu.models.builder import VitConfig, build_model_name, get_model, get_vit_config
+from vit_tpu.models.rope import apply_rope, rope_tables
+from vit_tpu.models.tokenization import (
+    Conv1DPatchTokenizer,
+    SlidingWindowTokenizer,
+    conv1d_num_patches,
+    sliding_window_num_patches,
+)
+from vit_tpu.models.vit import SpecViT, compute_loss
+
+
+def test_num_patches_formulas():
+    # reference tokenization.py:40 and :63 semantics
+    assert sliding_window_num_patches(4096, 32, 32) == 128
+    assert conv1d_num_patches(4096, 32, 32) == 128
+    assert sliding_window_num_patches(100, 32, 30) == 4  # ceil(68/30)+1
+    assert conv1d_num_patches(100, 32, 30) == 3  # floor(68/30)+1
+
+
+def test_sliding_window_tokenizer_pads_tail():
+    tok = SlidingWindowTokenizer(input_length=100, patch_size=32, hidden_size=8, stride=30)
+    x = jnp.ones((2, 100))
+    params = tok.init(jax.random.PRNGKey(0), x)
+    y = tok.apply(params, x)
+    assert y.shape == (2, 4, 8)
+
+
+def test_conv1d_tokenizer_shape():
+    tok = Conv1DPatchTokenizer(input_length=100, patch_size=32, hidden_size=8, stride=30)
+    x = jnp.ones((2, 100))
+    params = tok.init(jax.random.PRNGKey(0), x)
+    assert tok.apply(params, x).shape == (2, 3, 8)
+
+
+def test_sliding_window_matches_manual_unfold():
+    tok = SlidingWindowTokenizer(input_length=64, patch_size=16, hidden_size=4, stride=16)
+    x = jnp.asarray(np.random.default_rng(0).standard_normal((3, 64)), jnp.float32)
+    params = tok.init(jax.random.PRNGKey(0), x)
+    y = tok.apply(params, x)
+    W = params["params"]["projection"]["kernel"]
+    b = params["params"]["projection"]["bias"]
+    manual = x.reshape(3, 4, 16) @ W + b
+    np.testing.assert_allclose(np.asarray(y), np.asarray(manual), rtol=1e-5, atol=1e-5)
+
+
+def test_rope_rotation_identities():
+    # Position 0 is the identity rotation; norms are preserved everywhere.
+    cos, sin = rope_tables(8, 16)
+    x = jnp.asarray(np.random.default_rng(1).standard_normal((2, 8, 16)), jnp.float32)
+    y = apply_rope(x, cos, sin)
+    np.testing.assert_allclose(np.asarray(y[:, 0]), np.asarray(x[:, 0]), atol=1e-6)
+    np.testing.assert_allclose(
+        np.linalg.norm(np.asarray(y), axis=-1),
+        np.linalg.norm(np.asarray(x), axis=-1),
+        rtol=1e-5,
+    )
+
+
+def test_rope_relative_property():
+    """q_m . k_n must depend on positions only through (m - n)."""
+    dim = 32
+    cos, sin = rope_tables(16, dim)
+    rng = np.random.default_rng(2)
+    q = jnp.asarray(rng.standard_normal((1, 16, dim)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((1, 16, dim)), jnp.float32)
+    # Use identical content at different positions
+    qc = jnp.broadcast_to(q[:, :1], q.shape)
+    kc = jnp.broadcast_to(k[:, :1], k.shape)
+    qr, kr = apply_rope(qc, cos, sin), apply_rope(kc, cos, sin)
+    dots = np.asarray(jnp.einsum("bqd,bkd->bqk", qr, kr))[0]
+    # same relative offset -> same dot product
+    np.testing.assert_allclose(dots[3, 1], dots[7, 5], rtol=1e-4)
+    np.testing.assert_allclose(dots[2, 6], dots[5, 9], rtol=1e-4)
+
+
+@pytest.mark.parametrize("pos", [None, "learned", "rope"])
+def test_specvit_forward_shapes(pos):
+    cfg = VitConfig(
+        task_type="reg",
+        image_size=256,
+        patch_size=32,
+        hidden_size=32,
+        num_hidden_layers=2,
+        num_attention_heads=2,
+        intermediate_size=128,
+        stride_size=32,
+        num_labels=3,
+        pos_encoding_type=pos,
+    )
+    model = SpecViT(cfg=cfg)
+    x = jnp.ones((4, 256))
+    variables = model.init(jax.random.PRNGKey(0), x)
+    logits = model.apply(variables, x)
+    assert logits.shape == (4, 3)
+    assert logits.dtype == jnp.float32
+
+
+def test_specvit_capture_intermediates():
+    cfg = VitConfig(
+        image_size=128, patch_size=32, hidden_size=16, num_hidden_layers=2,
+        num_attention_heads=2, intermediate_size=64, stride_size=32, num_labels=1,
+    )
+    model = SpecViT(cfg=cfg)
+    x = jnp.ones((2, 128))
+    variables = model.init(jax.random.PRNGKey(0), x)
+    _, state = model.apply(variables, x, capture=True, mutable=["intermediates"])
+    inter = state["intermediates"]
+    probs = inter["encoder"]["layer_0"]["attention"]["attention_probs"][0]
+    assert probs.shape == (2, 2, cfg.seq_len, cfg.seq_len)
+    np.testing.assert_allclose(np.asarray(probs.sum(-1)), 1.0, rtol=1e-5)
+    assert "cls_embedding" in inter
+
+
+def test_compute_loss_semantics():
+    logits = jnp.array([[1.0], [2.0]])
+    labels = jnp.array([[0.0], [0.0]])
+    # 'mae' does NOT contain 'l1' -> MSE (reference specvit.py:52 quirk)
+    mse = compute_loss(logits, labels, "reg", "mae")
+    np.testing.assert_allclose(float(mse), (1.0 + 4.0) / 2)
+    l1 = compute_loss(logits, labels, "reg", "l1")
+    np.testing.assert_allclose(float(l1), 1.5)
+    # masked eval weights
+    w = jnp.array([1.0, 0.0])
+    np.testing.assert_allclose(float(compute_loss(logits, labels, "reg", "l1", w)), 1.0)
+    # classification CE
+    cls_logits = jnp.array([[10.0, -10.0]])
+    ce = compute_loss(cls_logits, jnp.array([0]), "cls")
+    assert float(ce) < 1e-4
+
+
+def test_builder_num_labels_from_param(tiny_config):
+    tiny_config["data"]["param"] = "T_eff, log_g, M_H"
+    cfg = get_vit_config(tiny_config)
+    assert cfg.num_labels == 3
+    assert cfg.intermediate_size == 4 * cfg.hidden_size
+    assert tiny_config["model"]["num_labels"] == 3
+
+
+def test_builder_vanilla_model_name(tiny_config):
+    bundle = get_model(tiny_config)
+    assert bundle.model_name == "ViT_p32_h32_l2_a2_s32_pSW"
+    assert bundle.loss_name == "mae"
+    assert not bundle.has_preprocessor
+
+
+def test_model_name_noise_suffix(tiny_config):
+    tiny_config["noise"] = {"noise_level": 0.1}
+    bundle = get_model(tiny_config)
+    assert bundle.model_name.endswith("_nz01")
+
+
+def test_image_vit_preset(tiny_config):
+    tiny_config["model"] = {
+        "name": "vit-s16",
+        "task_type": "cls",
+        "image_size": 32,
+        "num_labels": 10,
+        "input_kind": "image",
+    }
+    cfg = get_vit_config(tiny_config)
+    assert cfg.hidden_size == 384 and cfg.num_hidden_layers == 12
+    assert cfg.num_patches == 4
+    model = SpecViT(cfg=cfg)
+    x = jnp.ones((2, 32, 32, 3))
+    variables = jax.eval_shape(lambda: model.init(jax.random.PRNGKey(0), x))
+    # shape-only init (ViT-S is big for a unit test); head present
+    assert "classifier" in variables["params"]

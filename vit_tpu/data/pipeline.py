@@ -1,0 +1,126 @@
+"""Batching and host->device prefetch.
+
+TPU-native replacement for the reference's torch ``DataLoader`` worker pool
+(`/root/reference/src/basemodule.py:76-104`): data is fully in host memory,
+so batching is numpy slicing; batches are placed on device with a sharded
+``jax.device_put`` (batch axis over the ``data`` mesh axis) and
+double-buffered so step N+1's transfer overlaps step N's compute.
+
+Static-shape discipline: every batch has exactly ``batch_size`` rows. The
+final partial batch is padded — train batches cycle from the epoch start
+(a handful of samples seen twice per epoch), eval batches repeat the last
+row and carry a boolean ``mask`` marking real rows so metrics stay exact.
+"""
+
+from __future__ import annotations
+
+import collections
+import itertools
+from typing import Dict, Iterator, Optional
+
+import numpy as np
+
+__all__ = ["Batcher", "prefetch_to_device"]
+
+
+class Batcher:
+    """Iterate dict-of-arrays into fixed-size dict batches.
+
+    Args:
+        arrays: column dict, each value shaped ``(N, ...)``.
+        batch_size: rows per batch (static).
+        shuffle: reshuffle each epoch (train).
+        seed: base seed; epoch ``e`` uses ``seed + e``.
+        eval_mode: pad with repeated rows + emit a ``mask`` column instead of
+            cycling.
+        drop_last: drop the partial batch instead of padding.
+    """
+
+    def __init__(
+        self,
+        arrays: Dict[str, np.ndarray],
+        batch_size: int,
+        shuffle: bool = False,
+        seed: int = 0,
+        eval_mode: bool = False,
+        drop_last: bool = False,
+    ) -> None:
+        if not arrays:
+            raise ValueError("Batcher needs at least one array column")
+        self.arrays = arrays
+        self.n = int(next(iter(arrays.values())).shape[0])
+        for k, v in arrays.items():
+            if v.shape[0] != self.n:
+                raise ValueError(f"Column '{k}' has {v.shape[0]} rows, expected {self.n}")
+        self.batch_size = int(batch_size)
+        self.shuffle = shuffle
+        self.seed = seed
+        self.eval_mode = eval_mode
+        self.drop_last = drop_last
+        self.epoch = 0
+
+    def __len__(self) -> int:
+        if self.drop_last:
+            return self.n // self.batch_size
+        return -(-self.n // self.batch_size)
+
+    def set_epoch(self, epoch: int) -> None:
+        self.epoch = int(epoch)
+
+    def _order(self) -> np.ndarray:
+        if self.shuffle:
+            rng = np.random.default_rng(self.seed + self.epoch)
+            return rng.permutation(self.n)
+        return np.arange(self.n)
+
+    def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+        order = self._order()
+        bs = self.batch_size
+        n_batches = len(self)
+        for b in range(n_batches):
+            idx = order[b * bs : (b + 1) * bs]
+            n_real = idx.shape[0]
+            if n_real < bs and not self.drop_last:
+                if self.eval_mode:
+                    pad = np.repeat(idx[-1:], bs - n_real)
+                else:
+                    pad = order[: bs - n_real]  # cycle from epoch start
+                idx = np.concatenate([idx, pad])
+            batch = {k: v[idx] for k, v in self.arrays.items()}
+            if self.eval_mode:
+                mask = np.zeros(bs, dtype=bool)
+                mask[:n_real] = True
+                batch["mask"] = mask
+            yield batch
+        self.epoch += 1
+
+
+def prefetch_to_device(
+    iterator: Iterator,
+    size: int = 2,
+    sharding=None,
+) -> Iterator:
+    """Double-buffered host->device transfer.
+
+    Eagerly issues up to ``size`` ``jax.device_put`` calls ahead of the
+    consumer so the HBM transfer of the next batch overlaps the current
+    step's compute. ``sharding`` (e.g. batch rows over the ``data`` mesh
+    axis) is applied to every leaf.
+    """
+    import jax
+
+    queue = collections.deque()
+
+    def _put(batch):
+        if sharding is None:
+            return jax.device_put(batch)
+        return jax.device_put(batch, sharding)
+
+    for batch in itertools.islice(iterator, size):
+        queue.append(_put(batch))
+    for batch in iterator:
+        out = queue.popleft()
+        queue.append(_put(batch))
+        yield out
+    while queue:
+        yield queue.popleft()

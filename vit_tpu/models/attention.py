@@ -1,0 +1,131 @@
+"""Multi-head self-attention with optional RoPE and pluggable TPU kernels.
+
+Covers the reference's HF ``ViTSelfAttention`` + ``ViTSelfAttentionWithRoPE``
+(`/root/reference/src/models/vit_with_rope.py:16-84`) as a single Flax
+module. Where the reference monkey-patches attention to always return
+probabilities for visualization (`viz_callback.py:114-136`), here attention
+probabilities are a first-class optional output: pass
+``capture_probs=True`` and read them from the ``intermediates`` collection
+(``nn.sow``) — no hooks, jit-safe.
+
+Kernel dispatch (``impl``):
+
+* ``"xla"``   — einsum attention; XLA fuses softmax into the matmuls. Best
+  for short sequences (the 129-token baseline).
+* ``"flash"`` — fused Pallas flash-attention kernel
+  (:mod:`vit_tpu.ops.flash_attention`), O(T) memory; for long sequences
+  (stride-1 sweeps reach ~4k tokens).
+* ``"auto"``  — flash on TPU when the shape is worth it, else xla.
+
+Softmax always accumulates in fp32 regardless of compute dtype.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from vit_tpu.models.rope import apply_rope, rope_tables
+from vit_tpu.models.tokenization import KERNEL_INIT
+
+__all__ = ["MultiHeadSelfAttention", "select_attn_impl"]
+
+
+def select_attn_impl(impl: str, seq_len: int, head_dim: int) -> str:
+    """Resolve ``auto`` to a concrete kernel for this shape."""
+    if impl != "auto":
+        return impl
+    on_tpu = jax.default_backend() == "tpu"
+    # Flash pays off once the T×T probs matrix stops fitting nicely in VMEM
+    # alongside everything else; tiny baseline shapes stay on the XLA path.
+    if on_tpu and seq_len >= 1024:
+        return "flash"
+    return "xla"
+
+
+class MultiHeadSelfAttention(nn.Module):
+    """Self-attention block = QKV projection + kernel + output projection.
+
+    Submodule names (``query``/``key``/``value``/``out``) are chosen for a
+    mechanical rename to the HF ViT checkpoint layout
+    (``attention.attention.{query,key,value}``, ``attention.output.dense``).
+    """
+
+    hidden_size: int
+    num_heads: int
+    dropout_rate: float = 0.1
+    use_rope: bool = False
+    rope_base: float = 10000.0
+    impl: str = "auto"
+    dtype: jnp.dtype = jnp.float32
+    qkv_bias: bool = True
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jnp.ndarray,
+        deterministic: bool = True,
+        capture_probs: bool = False,
+    ) -> jnp.ndarray:
+        batch, seq_len, _ = x.shape
+        if self.hidden_size % self.num_heads != 0:
+            raise ValueError(
+                f"hidden_size {self.hidden_size} not divisible by "
+                f"num_heads {self.num_heads}"
+            )
+        head_dim = self.hidden_size // self.num_heads
+
+        dense = lambda name: nn.Dense(  # noqa: E731
+            self.hidden_size,
+            use_bias=self.qkv_bias,
+            dtype=self.dtype,
+            kernel_init=KERNEL_INIT,
+            name=name,
+        )
+        # (B, T, D) -> (B, H, T, d)
+        def split_heads(t):
+            return t.reshape(batch, seq_len, self.num_heads, head_dim).transpose(0, 2, 1, 3)
+
+        q = split_heads(dense("query")(x))
+        k = split_heads(dense("key")(x))
+        v = split_heads(dense("value")(x))
+
+        if self.use_rope:
+            cos, sin = rope_tables(seq_len, head_dim, base=self.rope_base, dtype=q.dtype)
+            q = apply_rope(q, cos, sin)
+            k = apply_rope(k, cos, sin)
+
+        impl = select_attn_impl(self.impl, seq_len, head_dim)
+        if impl == "flash" and not capture_probs:
+            from vit_tpu.ops.flash_attention import flash_attention
+
+            context = flash_attention(q, k, v)
+            # Flash never materializes probs; dropout on probs is a no-op at
+            # the baseline's eval path and approximated by resid dropout here.
+        elif impl in ("xla", "flash"):
+            scale = head_dim**-0.5
+            scores = jnp.einsum(
+                "bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32
+            )
+            probs = jax.nn.softmax(scores * scale, axis=-1)
+            if capture_probs:
+                self.sow("intermediates", "attention_probs", probs)
+            probs = probs.astype(self.dtype)
+            probs = nn.Dropout(rate=self.dropout_rate, name="attn_dropout")(
+                probs, deterministic=deterministic
+            )
+            context = jnp.einsum("bhqk,bhkd->bhqd", probs, v)
+        else:
+            raise ValueError(f"Unknown attention impl '{impl}'")
+
+        context = context.transpose(0, 2, 1, 3).reshape(batch, seq_len, self.hidden_size)
+        out = nn.Dense(
+            self.hidden_size, dtype=self.dtype, kernel_init=KERNEL_INIT, name="out"
+        )(context)
+        out = nn.Dropout(rate=self.dropout_rate, name="out_dropout")(
+            out, deterministic=deterministic
+        )
+        return out

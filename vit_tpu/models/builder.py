@@ -1,0 +1,342 @@
+"""Model construction: config dataclass, builder, naming.
+
+Parity targets:
+* ``get_vit_config`` — `/root/reference/src/models/builder.py:200-258`
+  (num_labels derived from ``data.param`` for regression, overriding config;
+  ``intermediate_size = 4*hidden``; dropout 0.1/0.1; defaults for RoPE).
+* ``get_model``     — `/root/reference/src/models/builder.py:136-197`
+  (no preprocessor -> vanilla ViT; else cov stats -> ZCA/PCA/attention
+  preprocessor, eigvec-dim validation, auto-adjust of ``model.image_size``
+  to the preprocessor output dim, encoded model names like
+  ``PCA64_fz5_ViT``).
+* ``build_model_name`` — `/root/reference/src/models/model_utils.py:9-41`.
+
+TPU-first extensions (no reference analogue):
+* ``dtype``/``param_dtype`` compute-precision policy (bf16 on the MXU),
+* ``attn_impl`` kernel selection (xla | flash | auto),
+* ``input_kind: image`` + ``IMAGE_VIT_PRESETS`` (ViT-S/16, B/16, L/16) for
+  the standard image-ViT family named in the rebuild's benchmark configs.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Any, Dict, Optional
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from vit_tpu.models.preprocessor import (
+    LinearPreprocessor,
+    PrefilledAttention,
+    compute_pca_matrix,
+    compute_zca_matrix,
+)
+from vit_tpu.models.tokenization import (
+    conv1d_num_patches,
+    sliding_window_num_patches,
+)
+from vit_tpu.utils import load_cov_stats
+
+__all__ = [
+    "VitConfig",
+    "ModelBundle",
+    "get_vit_config",
+    "get_model",
+    "build_model_name",
+    "IMAGE_VIT_PRESETS",
+]
+
+_DTYPES = {
+    "float32": jnp.float32,
+    "fp32": jnp.float32,
+    "32": jnp.float32,
+    "bfloat16": jnp.bfloat16,
+    "bf16": jnp.bfloat16,
+    "bf16-mixed": jnp.bfloat16,
+}
+
+# Standard image-ViT presets (patch 16): hidden/layers/heads.
+IMAGE_VIT_PRESETS: Dict[str, Dict[str, int]] = {
+    "vit-s16": dict(hidden_size=384, num_hidden_layers=12, num_attention_heads=6, patch_size=16),
+    "vit-b16": dict(hidden_size=768, num_hidden_layers=12, num_attention_heads=12, patch_size=16),
+    "vit-l16": dict(hidden_size=1024, num_hidden_layers=24, num_attention_heads=16, patch_size=16),
+}
+
+
+@dataclasses.dataclass(frozen=True)
+class VitConfig:
+    """Static model configuration (all shapes resolved before jit)."""
+
+    task_type: str = "reg"
+    image_size: int = 4096
+    patch_size: int = 32
+    num_channels: int = 1
+    hidden_size: int = 32
+    num_hidden_layers: int = 3
+    num_attention_heads: int = 2
+    intermediate_size: int = 128
+    stride_ratio: float = 1.0
+    stride_size: Optional[int] = None
+    proj_fn: str = "SW"
+    hidden_dropout: float = 0.1
+    attention_dropout: float = 0.1
+    qkv_bias: bool = True
+    num_labels: int = 1
+    pos_encoding_type: Optional[str] = None
+    max_position_embeddings: int = 512
+    rope_base: float = 10000.0
+    input_kind: str = "spectra"  # 'spectra' (1-D) | 'image' (2-D)
+    attn_impl: str = "auto"  # 'xla' | 'flash' | 'auto'
+    precision: str = "float32"  # compute dtype name
+    remat: bool = False
+
+    @property
+    def dtype(self):
+        key = str(self.precision).lower()
+        if key not in _DTYPES:
+            raise ValueError(f"Unsupported precision '{self.precision}'")
+        return _DTYPES[key]
+
+    @property
+    def stride(self) -> int:
+        if self.stride_size and self.stride_size > 0:
+            return int(self.stride_size)
+        return int(self.stride_ratio * self.patch_size)
+
+    @property
+    def num_patches(self) -> int:
+        if self.input_kind == "image":
+            return (self.image_size // self.patch_size) ** 2
+        if self.proj_fn == "SW":
+            return sliding_window_num_patches(self.image_size, self.patch_size, self.stride)
+        if self.proj_fn in ("C1D", "CNN"):
+            return conv1d_num_patches(self.image_size, self.patch_size, self.stride)
+        if self.proj_fn in ("LIN", "linear"):
+            return self.image_size // self.patch_size
+        raise ValueError(f"Unsupported proj_fn '{self.proj_fn}'")
+
+    @property
+    def seq_len(self) -> int:
+        return self.num_patches + 1  # + CLS
+
+    @property
+    def head_dim(self) -> int:
+        return self.hidden_size // self.num_attention_heads
+
+
+@dataclasses.dataclass
+class ModelBundle:
+    """Everything the training runtime needs to know about the built model."""
+
+    module: nn.Module
+    vit_config: VitConfig
+    model_name: str
+    loss_name: str
+    freeze_epochs: int = 0
+    has_preprocessor: bool = False
+    preprocessor_desc: str = ""
+
+
+def build_model_name(cfg: VitConfig, model_prefix: str = "ViT", full_config: Optional[dict] = None) -> str:
+    """``{prefix}_p{patch}_h{hidden}_l{layers}_a{heads}_s{stride}_p{proj}``
+    plus ``_nz{level}`` when noise_level > 0 (reference `model_utils.py:9-41`)."""
+    stride_tag = (
+        int(cfg.stride_size)
+        if (cfg.stride_size is not None and cfg.stride_size)
+        else cfg.stride_ratio
+    )
+    name = (
+        f"{model_prefix}_p{cfg.patch_size}_h{cfg.hidden_size}_l{cfg.num_hidden_layers}_"
+        f"a{cfg.num_attention_heads}_s{stride_tag}_p{cfg.proj_fn}"
+    )
+    if full_config is not None:
+        noise_level = (full_config.get("noise", {}) or {}).get("noise_level", 0)
+        if noise_level and noise_level > 0:
+            name += f"_nz{str(noise_level).replace('.', '')}"
+    return name
+
+
+def _derive_num_labels(m: dict, d: dict, task: str) -> int:
+    if task in ("reg", "regression"):
+        p = d.get("param")
+        num_labels = 1
+        if isinstance(p, str) and p.strip():
+            num_labels = max(1, len([x for x in p.split(",") if x.strip()]))
+        elif isinstance(p, (list, tuple)) and len(p) > 0:
+            num_labels = len(p)
+        cfg_labels = m.get("num_labels")
+        if cfg_labels is not None and int(cfg_labels) != num_labels:
+            print(
+                f"Warning: model.num_labels={cfg_labels} conflicts with data.param "
+                f"(implies {num_labels}); using {num_labels}"
+            )
+        m["num_labels"] = num_labels
+        return num_labels
+    return int(m.get("num_labels", 1) or 1)
+
+
+def get_vit_config(config: dict) -> VitConfig:
+    """YAML ``model`` (+``data``/``train``) sections -> :class:`VitConfig`."""
+    m = dict(config["model"])
+    preset = IMAGE_VIT_PRESETS.get(str(m.get("name", "")).lower())
+    if preset:
+        for k, v in preset.items():
+            m.setdefault(k, v)
+        m.setdefault("input_kind", "image")
+    d = config.get("data", {}) or {}
+    t = config.get("train", {}) or {}
+    task = str(m.get("task_type") or m.get("task") or "cls").lower()
+    num_labels = _derive_num_labels(m, d, task)
+    config["model"]["num_labels"] = m.get("num_labels", num_labels)
+
+    hidden = int(m["hidden_size"])
+    return VitConfig(
+        task_type="cls" if task in ("cls", "class", "classification") else "reg",
+        image_size=int(m["image_size"]),
+        patch_size=int(m["patch_size"]),
+        num_channels=int(m.get("num_channels", 3 if m.get("input_kind") == "image" else 1)),
+        hidden_size=hidden,
+        num_hidden_layers=int(m["num_hidden_layers"]),
+        num_attention_heads=int(m["num_attention_heads"]),
+        intermediate_size=int(m.get("intermediate_size", 4 * hidden)),
+        stride_ratio=m.get("stride_ratio", 1),
+        stride_size=m.get("stride_size"),
+        proj_fn=m.get("proj_fn", "SW"),
+        hidden_dropout=float(m.get("hidden_dropout_prob", 0.1)),
+        attention_dropout=float(m.get("attention_probs_dropout_prob", 0.1)),
+        qkv_bias=bool(m.get("qkv_bias", True)),
+        num_labels=num_labels,
+        pos_encoding_type=m.get("pos_encoding_type"),
+        max_position_embeddings=int(m.get("max_position_embeddings", 512)),
+        rope_base=float(m.get("rope_base", 10000.0)),
+        input_kind=m.get("input_kind", "spectra"),
+        attn_impl=m.get("attn_impl", "auto"),
+        precision=str(t.get("precision", "float32")),
+        remat=bool(m.get("remat", False)),
+    )
+
+
+def _get_freeze_suffix(freeze_epochs: int) -> str:
+    return "perm" if freeze_epochs == -1 else str(freeze_epochs)
+
+
+def _build_preprocessor(
+    preproc_type: str, warmup_cfg: dict, stats: dict, input_dim: int
+):
+    """Build (module, output_dim, name_prefix, desc) from covariance stats."""
+    eigvecs = stats["eigvecs"]
+    mean = stats.get("mean")
+    r = warmup_cfg.get("r")
+    fz = _get_freeze_suffix(int(warmup_cfg.get("freeze_epochs", 0) or 0))
+
+    if preproc_type == "zca":
+        eps = warmup_cfg.get("eps", 1e-5)
+        shrinkage = warmup_cfg.get("shrinkage", 0.0)
+        use_bias = warmup_cfg.get("bias", True)
+        P = compute_zca_matrix(eigvecs, stats["eigvals"], eps=eps, r=r, shrinkage=shrinkage)
+        bias = (-(mean @ P.T)).astype("float32") if (use_bias and mean is not None) else None
+        module = LinearPreprocessor(matrix=P, bias=bias, name="preprocessor")
+        rank_str = f"ZCA{r}" if r is not None else "ZCA"
+        shrink_str = f"_s{int(shrinkage * 10)}" if shrinkage > 0 else ""
+        bias_str = "" if use_bias else "_nobias"
+        return (
+            module,
+            P.shape[0],
+            f"{rank_str}_fz{fz}{shrink_str}{bias_str}",
+            f"{'low-rank' if r else 'full-rank'} ZCA, eps={eps}, shrinkage={shrinkage}, bias={use_bias}",
+        )
+    if preproc_type == "pca":
+        use_bias = warmup_cfg.get("bias", True)
+        P = compute_pca_matrix(eigvecs, r=r)
+        bias = (-(mean @ P.T)).astype("float32") if (use_bias and mean is not None) else None
+        module = LinearPreprocessor(matrix=P, bias=bias, name="preprocessor")
+        rank_str = f"PCA{r}" if r is not None else "PCA"
+        bias_str = "" if use_bias else "_nobias"
+        return (
+            module,
+            P.shape[0],
+            f"{rank_str}_fz{fz}{bias_str}",
+            f"PCA with r={r}, bias={use_bias}" if r else f"full-rank PCA, bias={use_bias}",
+        )
+    if preproc_type == "attention":
+        eps = warmup_cfg.get("eps", 1e-5)
+        scale_by_eigvals = warmup_cfg.get("scale_by_eigvals", True)
+        module = PrefilledAttention(
+            input_dim=input_dim,
+            eigvecs=eigvecs,
+            eigvals=stats.get("eigvals"),
+            r=r,
+            scale_by_eigvals=scale_by_eigvals,
+            eps=eps,
+            name="preprocessor",
+        )
+        out_dim = r if r is not None else input_dim
+        rank_str = r if r else "Full"
+        scale_suffix = "_scaled" if (scale_by_eigvals and stats.get("eigvals") is not None) else ""
+        return (
+            module,
+            out_dim,
+            f"Attn{rank_str}{scale_suffix}_fz{fz}",
+            f"Attention preprocessor with r={r}, scale_by_eigvals={scale_by_eigvals}",
+        )
+    raise ValueError(f"Unknown preprocessor type: '{preproc_type}'")
+
+
+def get_model(config: dict) -> ModelBundle:
+    """Build the model (and optional preprocessor) from the full config dict.
+
+    Mutates ``config['model']['image_size']`` when a preprocessor changes the
+    input dimension (reference `builder.py:176-179` contract: downstream
+    consumers see the adjusted size).
+    """
+    from vit_tpu.models.vit import SpecViT  # local import avoids a cycle
+
+    warmup_cfg = config.get("warmup", {}) or {}
+    loss_name = (config.get("loss", {}) or {}).get("name") or ""
+    task = str((config.get("model", {}) or {}).get("task_type", "cls")).lower()
+    if task in ("cls", "class", "classification"):
+        loss_name = "ce"
+    elif not loss_name:
+        loss_name = "l2"
+    preproc_type = warmup_cfg.get("preprocessor")
+
+    if preproc_type is None or str(preproc_type).lower() in ("none", "null"):
+        vit_config = get_vit_config(config)
+        module = SpecViT(cfg=vit_config)
+        name = build_model_name(vit_config, "ViT", full_config=config)
+        return ModelBundle(module, vit_config, name, loss_name)
+
+    cov_path = warmup_cfg.get("cov_path")
+    if cov_path is None:
+        raise ValueError(f"preprocessor='{preproc_type}' requires 'cov_path' in warmup config")
+    stats = load_cov_stats(cov_path)
+    input_dim = int(stats["eigvecs"].shape[0])
+    original_image_size = int(config["model"]["image_size"])
+    if input_dim != original_image_size:
+        raise ValueError(
+            f"Mismatch: eigvecs dimension {input_dim} != image_size {original_image_size}"
+        )
+
+    freeze_epochs = int(warmup_cfg.get("freeze_epochs", 0) or 0)
+    preprocessor, output_dim, name_prefix, desc = _build_preprocessor(
+        str(preproc_type).lower(), warmup_cfg, stats, input_dim
+    )
+    if output_dim != original_image_size:
+        print(f"[builder] Auto-adjusting image_size: {original_image_size} -> {output_dim}")
+        config["model"]["image_size"] = int(output_dim)
+
+    vit_config = get_vit_config(config)
+    module = SpecViT(cfg=vit_config, preprocessor=preprocessor)
+    name = build_model_name(vit_config, f"{name_prefix}_ViT", full_config=config)
+    print(f"[builder] Created {desc} preprocessor -> {name}")
+    return ModelBundle(
+        module,
+        vit_config,
+        name,
+        loss_name,
+        freeze_epochs=freeze_epochs,
+        has_preprocessor=True,
+        preprocessor_desc=desc,
+    )

@@ -1,0 +1,271 @@
+"""The ViT model family: spectra (1-D) and image (2-D) transformers.
+
+Capability parity with the reference's ``MyViT`` + ``SpectraEmbeddings``
+(`/root/reference/src/models/specvit.py:17-115`,
+`/root/reference/src/models/embedding.py:15-105`), re-designed as pure Flax:
+
+* ``SpectraEmbeddings`` — SW/C1D tokenizer + learned CLS token + position
+  encoding mode ``none`` (default) / ``learned`` / ``rope`` (applied inside
+  attention, not here) + dropout.
+* ``ImageEmbeddings``  — standard ViT 2-D patchify (this rebuild's image
+  family: ViT-S/16, B/16, L/16 presets in the builder).
+* ``ViTLayer``         — pre-LN transformer block matching HF ViT ordering
+  (layernorm_before -> attention -> residual; layernorm_after -> 4x MLP ->
+  residual), GELU (exact), dropout 0.1, LN eps 1e-12.
+* ``SpecViT``          — optional linear preprocessor -> embeddings ->
+  encoder -> final LayerNorm -> CLS token -> task head.
+
+Loss semantics (`specvit.py:46-55`): cls -> cross-entropy; reg -> L1 iff the
+loss name contains ``"l1"``, else MSE. NOTE the reference quirk is kept
+deliberately: ``loss.name: 'mae'`` does NOT contain ``"l1"`` and therefore
+trains with MSE (MAE is still the *monitored metric*). Use ``'l1'`` to train
+with an L1 objective.
+
+Diagnostics (replaces torch forward hooks, which have no jit analogue):
+``capture=True`` sows per-layer attention probabilities, per-layer CLS
+hidden states, and MLP activations into the ``intermediates`` collection.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import jax.numpy as jnp
+import optax
+from flax import linen as nn
+
+from vit_tpu.models.attention import MultiHeadSelfAttention
+from vit_tpu.models.tokenization import (
+    KERNEL_INIT,
+    Conv1DPatchTokenizer,
+    LinearPatchTokenizer,
+    Patch2DTokenizer,
+    SlidingWindowTokenizer,
+)
+
+__all__ = [
+    "SpectraEmbeddings",
+    "ImageEmbeddings",
+    "ViTLayer",
+    "ViTEncoder",
+    "SpecViT",
+    "compute_loss",
+]
+
+LN_EPS = 1e-12  # HF ViTConfig layer_norm_eps
+
+
+class SpectraEmbeddings(nn.Module):
+    """Patch + CLS + positional embeddings for 1-D spectra."""
+
+    cfg: Any  # VitConfig
+
+    def tokenizer(self) -> nn.Module:
+        cfg = self.cfg
+        common = dict(
+            input_length=cfg.image_size,
+            patch_size=cfg.patch_size,
+            hidden_size=cfg.hidden_size,
+            stride=cfg.stride,
+            dtype=cfg.dtype,
+        )
+        if cfg.proj_fn == "SW":
+            return SlidingWindowTokenizer(**common, name="patch_embeddings")
+        if cfg.proj_fn in ("C1D", "CNN"):
+            return Conv1DPatchTokenizer(**common, name="patch_embeddings")
+        if cfg.proj_fn in ("LIN", "linear"):
+            common.pop("stride")
+            common["embed_dim"] = common.pop("hidden_size")
+            return LinearPatchTokenizer(**common, name="patch_embeddings")
+        raise ValueError(f"Unsupported proj_fn '{cfg.proj_fn}'")
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
+        cfg = self.cfg
+        tokens = self.tokenizer()(x)  # (B, T, H)
+        batch = tokens.shape[0]
+        # Reference uses torch.randn (std 1.0) for CLS and learned pos tables.
+        cls = self.param(
+            "cls_token", nn.initializers.normal(stddev=1.0), (1, 1, cfg.hidden_size)
+        )
+        tokens = jnp.concatenate(
+            [jnp.broadcast_to(cls, (batch, 1, cfg.hidden_size)).astype(tokens.dtype), tokens],
+            axis=1,
+        )
+        if cfg.pos_encoding_type == "learned":
+            pos = self.param(
+                "position_embeddings",
+                nn.initializers.normal(stddev=1.0),
+                (1, tokens.shape[1], cfg.hidden_size),
+            )
+            tokens = tokens + pos.astype(tokens.dtype)
+        # 'rope' is applied inside attention; 'none'/None adds nothing.
+        return nn.Dropout(rate=cfg.hidden_dropout, name="dropout")(
+            tokens, deterministic=deterministic
+        )
+
+
+class ImageEmbeddings(nn.Module):
+    """Standard ViT 2-D patch + CLS + learned positional embeddings."""
+
+    cfg: Any
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
+        cfg = self.cfg
+        tokens = Patch2DTokenizer(
+            image_size=cfg.image_size,
+            patch_size=cfg.patch_size,
+            hidden_size=cfg.hidden_size,
+            num_channels=cfg.num_channels,
+            dtype=cfg.dtype,
+            name="patch_embeddings",
+        )(x)
+        batch = tokens.shape[0]
+        cls = self.param(
+            "cls_token", nn.initializers.normal(stddev=1.0), (1, 1, cfg.hidden_size)
+        )
+        tokens = jnp.concatenate(
+            [jnp.broadcast_to(cls, (batch, 1, cfg.hidden_size)).astype(tokens.dtype), tokens],
+            axis=1,
+        )
+        if cfg.pos_encoding_type != "rope":
+            # Image ViTs default to learned absolute positions (standard ViT).
+            pos = self.param(
+                "position_embeddings",
+                nn.initializers.normal(stddev=0.02),
+                (1, tokens.shape[1], cfg.hidden_size),
+            )
+            tokens = tokens + pos.astype(tokens.dtype)
+        return nn.Dropout(rate=cfg.hidden_dropout, name="dropout")(
+            tokens, deterministic=deterministic
+        )
+
+
+class ViTLayer(nn.Module):
+    """Pre-LN transformer encoder block (HF ViT ordering)."""
+
+    cfg: Any
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jnp.ndarray,
+        deterministic: bool = True,
+        capture: bool = False,
+    ) -> jnp.ndarray:
+        cfg = self.cfg
+        h = nn.LayerNorm(epsilon=LN_EPS, dtype=cfg.dtype, name="layernorm_before")(x)
+        attn = MultiHeadSelfAttention(
+            hidden_size=cfg.hidden_size,
+            num_heads=cfg.num_attention_heads,
+            dropout_rate=cfg.attention_dropout,
+            use_rope=cfg.pos_encoding_type == "rope",
+            rope_base=cfg.rope_base,
+            impl=cfg.attn_impl,
+            dtype=cfg.dtype,
+            qkv_bias=cfg.qkv_bias,
+            name="attention",
+        )
+        x = x + attn(h, deterministic=deterministic, capture_probs=capture)
+
+        h = nn.LayerNorm(epsilon=LN_EPS, dtype=cfg.dtype, name="layernorm_after")(x)
+        h = nn.Dense(
+            cfg.intermediate_size, dtype=cfg.dtype, kernel_init=KERNEL_INIT, name="intermediate"
+        )(h)
+        h = nn.gelu(h, approximate=False)
+        if capture:
+            self.sow("intermediates", "mlp_activation", h)
+        h = nn.Dense(
+            cfg.hidden_size, dtype=cfg.dtype, kernel_init=KERNEL_INIT, name="output"
+        )(h)
+        h = nn.Dropout(rate=cfg.hidden_dropout, name="dropout")(
+            h, deterministic=deterministic
+        )
+        return x + h
+
+
+class ViTEncoder(nn.Module):
+    """Stack of encoder layers; optional remat to trade FLOPs for HBM."""
+
+    cfg: Any
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jnp.ndarray,
+        deterministic: bool = True,
+        capture: bool = False,
+    ) -> jnp.ndarray:
+        layer_cls = ViTLayer
+        if self.cfg.remat:
+            layer_cls = nn.remat(ViTLayer, static_argnums=(2, 3))
+        for i in range(self.cfg.num_hidden_layers):
+            x = layer_cls(self.cfg, name=f"layer_{i}")(x, deterministic, capture)
+            if capture:
+                self.sow("intermediates", f"cls_hidden_{i}", x[:, 0, :])
+        return x
+
+
+class SpecViT(nn.Module):
+    """Flagship model: [preprocessor] -> embeddings -> encoder -> LN -> head.
+
+    ``preprocessor`` is an optional Flax module built by the builder from
+    covariance statistics (PCA/ZCA/attention); its parameters live under the
+    ``preprocessor`` scope so the freeze schedule can partition them.
+    """
+
+    cfg: Any
+    preprocessor: Optional[nn.Module] = None
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jnp.ndarray,
+        deterministic: bool = True,
+        capture: bool = False,
+    ) -> jnp.ndarray:
+        cfg = self.cfg
+        if self.preprocessor is not None:
+            x = self.preprocessor(x)
+        emb_cls = ImageEmbeddings if cfg.input_kind == "image" else SpectraEmbeddings
+        tokens = emb_cls(cfg, name="embeddings")(x, deterministic=deterministic)
+        h = ViTEncoder(cfg, name="encoder")(
+            tokens, deterministic=deterministic, capture=capture
+        )
+        h = nn.LayerNorm(epsilon=LN_EPS, dtype=cfg.dtype, name="layernorm")(h)
+        cls_token = h[:, 0, :]
+        if capture:
+            self.sow("intermediates", "cls_embedding", cls_token)
+        head_name = "classifier" if cfg.task_type == "cls" else "regressor"
+        logits = nn.Dense(
+            cfg.num_labels, dtype=jnp.float32, kernel_init=KERNEL_INIT, name=head_name
+        )(cls_token.astype(jnp.float32))
+        return logits
+
+
+def compute_loss(
+    logits: jnp.ndarray,
+    labels: jnp.ndarray,
+    task_type: str,
+    loss_name: str = "",
+    weights: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """Task loss with reference semantics (`specvit.py:46-55,78-87`).
+
+    cls: cross-entropy over ``num_labels`` classes. reg: flattened L1 iff
+    ``'l1' in loss_name`` else MSE. ``weights`` (per-example 0/1) supports
+    masked eval batches.
+    """
+    if task_type == "cls":
+        per_ex = optax.softmax_cross_entropy_with_integer_labels(
+            logits.astype(jnp.float32), labels.astype(jnp.int32)
+        )
+    else:
+        diff = logits.astype(jnp.float32) - labels.astype(jnp.float32).reshape(logits.shape)
+        per_elem = jnp.abs(diff) if "l1" in (loss_name or "l2").lower() else diff**2
+        per_ex = per_elem.mean(axis=-1)
+    if weights is None:
+        return per_ex.mean()
+    w = weights.astype(jnp.float32)
+    return (per_ex * w).sum() / jnp.maximum(w.sum(), 1.0)
