@@ -1,0 +1,121 @@
+"""Optimizer/scheduler factory tests: schedule math, plateau, early stop."""
+
+import numpy as np
+import pytest
+
+from vit_tpu.train.optim import (
+    EarlyStopping,
+    OptSpec,
+    PlateauScheduler,
+    build_optimizer,
+    schedule_scale,
+    set_learning_rate,
+)
+
+
+def _spec(**kw):
+    base = dict(lr=1e-3, opt_type="adamw", steps_per_epoch=10, total_epochs=20)
+    base.update(kw)
+    return OptSpec(**base)
+
+
+def test_from_config_resolves_scheduler_aliases():
+    cfg = {"opt": {"lr": 0.01, "type": "AdamW", "lr_sch": "CosineAnnealingLR"},
+           "train": {"ep": 7}}
+    spec = OptSpec.from_config(cfg, steps_per_epoch=5)
+    assert spec.scheduler == "cosine"
+    assert spec.t_max == 7  # defaults to train.ep
+    assert spec.lr == 0.01
+
+
+def test_from_config_plateau_disabled_without_val():
+    cfg = {"opt": {"lr": 1e-3, "lr_sch": "plateau"}, "train": {"ep": 5}}
+    spec = OptSpec.from_config(cfg, 5, has_val=False)
+    assert spec.scheduler is None
+
+
+def test_cosine_schedule_values():
+    spec = _spec(scheduler="cosine", t_max=10)
+    f = schedule_scale(spec)
+    assert float(f(0)) == pytest.approx(1.0)
+    # epoch 5 of T_max 10 -> cos(pi/2) midpoint = 0.5
+    assert float(f(5 * 10)) == pytest.approx(0.5, abs=1e-6)
+    assert float(f(10 * 10)) == pytest.approx(0.0, abs=1e-6)
+
+
+def test_warmup_linear_prefix():
+    spec = _spec(scheduler="cosine", t_max=10, warmup_epochs=4)
+    f = schedule_scale(spec)
+    assert float(f(0)) == pytest.approx(0.1)  # start at 10% of LR
+    assert float(f(2 * 10)) == pytest.approx(0.1 + 0.9 * 0.5)
+    # after warmup the cosine clock starts at 0 (SequentialLR semantics)
+    assert float(f(4 * 10)) == pytest.approx(1.0)
+
+
+def test_onecycle_schedule_shape():
+    spec = _spec(scheduler="onecycle", total_epochs=10, steps_per_epoch=10)
+    f = schedule_scale(spec)
+    start = float(f(0))
+    peak = float(f(30))  # pct_start=0.3 * 100 steps
+    end = float(f(100))
+    assert start == pytest.approx(1 / 25.0, rel=1e-3)
+    assert peak == pytest.approx(1.0, rel=1e-3)
+    assert end < start / 100
+
+
+def test_constant_schedule():
+    spec = _spec(scheduler="constant", constant_factor=0.5, constant_total_iters=3)
+    f = schedule_scale(spec)
+    assert float(f(0)) == pytest.approx(0.5)
+    assert float(f(2 * 10)) == pytest.approx(0.5)
+    assert float(f(3 * 10)) == pytest.approx(1.0)
+
+
+def test_set_learning_rate_roundtrip():
+    import jax.numpy as jnp
+
+    spec = _spec()
+    tx = build_optimizer(spec)
+    params = {"w": jnp.ones((3,))}
+    state = tx.init(params)
+    state = set_learning_rate(state, jnp.asarray(0.5))
+    assert float(state[-1].hyperparams["learning_rate"]) == 0.5
+    grads = {"w": jnp.ones((3,))}
+    updates, _ = tx.update(grads, state, params)
+    assert np.all(np.isfinite(np.asarray(updates["w"])))
+
+
+def test_optimizer_table_fallbacks():
+    for name in ("adam", "adamw", "sgd", "rmsprop", "adadelta", "adagrad",
+                 "adamax", "rprop", "asgd", "sparseadam"):
+        tx = build_optimizer(_spec(opt_type=name))
+        assert tx is not None
+
+
+def test_unknown_optimizer_raises():
+    with pytest.raises(ValueError):
+        import jax.numpy as jnp
+
+        tx = build_optimizer(_spec(opt_type="frobnicate"))
+        tx.init({"w": jnp.ones(1)})
+
+
+def test_plateau_scheduler_torch_semantics():
+    p = PlateauScheduler(factor=0.5, patience=2, mode="min")
+    assert p.step(1.0) == 1.0
+    # patience=2: two bad epochs tolerated, third triggers
+    assert p.step(1.0) == 1.0
+    assert p.step(1.0) == 1.0
+    assert p.step(1.0) == 0.5
+    # improvement resets
+    p.step(0.5)
+    assert p.num_bad == 0
+
+
+def test_early_stopping():
+    es = EarlyStopping(patience=3, mode="min")
+    assert not es.step(1.0)
+    assert not es.step(0.9)
+    assert not es.step(0.95)
+    assert not es.step(0.95)
+    assert es.step(0.95)  # 3rd epoch without improvement

@@ -1,0 +1,121 @@
+"""End-to-end training-loop tests on synthetic spectra (CPU mesh)."""
+
+import os
+
+import numpy as np
+import pytest
+
+from vit_tpu.train.loop import Experiment
+
+
+@pytest.fixture()
+def fast_config(tiny_config, tmp_path):
+    cfg = dict(tiny_config)
+    cfg["train"] = dict(tiny_config["train"], ep=3, batch_size=16)
+    cfg["opt"] = {"type": "AdamW", "lr": 3e-3, "lr_sch": "none"}
+    return cfg
+
+
+def test_fit_reduces_loss(fast_config, monkeypatch, tmp_path):
+    monkeypatch.setenv("CKPT_DIR", str(tmp_path / "ckpt"))
+    exp = Experiment(fast_config, seed=0)
+    exp.datamodule.setup("fit")
+    # capture first-epoch loss trajectory via the returned metrics
+    metrics = exp.fit()
+    assert "train_loss" in metrics and np.isfinite(metrics["train_loss"])
+    assert "val_mae" in metrics
+    # minmax labels in [0,1]; a fitted model must beat the trivial 0.5 guess
+    assert metrics["val_mae"] < 0.5
+
+
+def test_run_fit_then_test(fast_config, monkeypatch, tmp_path):
+    monkeypatch.setenv("CKPT_DIR", str(tmp_path / "ckpt"))
+    exp = Experiment(fast_config, seed=0)
+    metrics = exp.run()
+    assert "test_mae" in metrics and np.isfinite(metrics["test_mae"])
+    assert "test_r2" in metrics
+    assert f"test_bias_median" in metrics and "test_p90" in metrics and "test_beta" in metrics
+
+
+def test_checkpoint_save_and_test_best(fast_config, monkeypatch, tmp_path):
+    monkeypatch.setenv("CKPT_DIR", str(tmp_path / "ckpt"))
+    fast_config["train"]["save"] = True
+    exp = Experiment(fast_config, seed=0)
+    exp.fit()
+    assert exp.ckpt.best_epoch is not None
+    assert os.path.exists(exp.ckpt.best_path)
+    assert os.path.exists(exp.ckpt.last_path)
+
+    # fresh experiment evaluates the saved best checkpoint
+    exp2 = Experiment(dict(fast_config), seed=0)
+    m = exp2.test(ckpt="best")
+    assert np.isfinite(m["test_mae"])
+
+
+def test_resume_from_checkpoint(fast_config, monkeypatch, tmp_path):
+    monkeypatch.setenv("CKPT_DIR", str(tmp_path / "ckpt"))
+    fast_config["train"]["save"] = True
+    fast_config["train"]["ep"] = 2
+    exp = Experiment(fast_config, seed=0)
+    exp.fit()
+    step_after_2 = int(exp.state.step)
+
+    cfg2 = dict(fast_config)
+    cfg2["train"] = dict(fast_config["train"], ep=3)
+    exp2 = Experiment(cfg2, ckpt_path="last", seed=0)
+    exp2.fit()
+    assert int(exp2.state.step) > step_after_2
+
+
+def test_debug_fast_dev_run(fast_config, monkeypatch, tmp_path):
+    monkeypatch.setenv("CKPT_DIR", str(tmp_path / "ckpt"))
+    fast_config["train"]["debug"] = 1
+    exp = Experiment(fast_config, seed=0)
+    metrics = exp.fit()
+    assert int(exp.state.step) == 1  # one batch only
+
+
+def test_classification_task(fast_config, monkeypatch, tmp_path):
+    monkeypatch.setenv("CKPT_DIR", str(tmp_path / "ckpt"))
+    fast_config["model"] = dict(fast_config["model"], task_type="cls", num_labels=2)
+    exp = Experiment(fast_config, seed=0)
+    metrics = exp.fit()
+    assert "val_acc" in metrics
+    assert 0.0 <= metrics["val_acc"] <= 1.0
+    assert exp.monitor == "acc" and exp.monitor_mode == "max"
+
+
+def test_train_noise_injection_path(fast_config, monkeypatch, tmp_path):
+    monkeypatch.setenv("CKPT_DIR", str(tmp_path / "ckpt"))
+    fast_config["noise"] = {"noise_level": 0.3}
+    fast_config["train"]["ep"] = 1
+    exp = Experiment(fast_config, seed=0)
+    metrics = exp.fit()
+    assert np.isfinite(metrics["train_loss"])
+    # val uses pre-generated fixed-seed noisy copies
+    assert exp.datamodule.val.noisy is not None
+
+
+def test_plateau_reduces_lr(fast_config, monkeypatch, tmp_path):
+    monkeypatch.setenv("CKPT_DIR", str(tmp_path / "ckpt"))
+    # patience 0 -> any non-improving epoch immediately decays the LR scale
+    fast_config["opt"] = {"type": "AdamW", "lr": 1e-9, "lr_sch": "plateau",
+                          "factor": 0.5, "patience": 0}
+    fast_config["train"]["ep"] = 4
+    exp = Experiment(fast_config, seed=0)
+    exp.fit()
+    # with lr ~0 the metric can't improve, so the plateau must have fired
+    assert float(exp.state.plateau_scale) < 1.0
+
+
+def test_data_parallel_multi_device(fast_config, monkeypatch, tmp_path):
+    """8 virtual CPU devices: batch 16 shards over the data axis."""
+    import jax
+
+    monkeypatch.setenv("CKPT_DIR", str(tmp_path / "ckpt"))
+    assert len(jax.devices()) == 8
+    fast_config["train"]["ep"] = 1
+    exp = Experiment(fast_config, seed=0, num_devices=8)
+    assert dict(exp.mesh.shape)["data"] == 8
+    metrics = exp.fit()
+    assert np.isfinite(metrics["train_loss"])

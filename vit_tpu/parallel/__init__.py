@@ -1,0 +1,7 @@
+"""Device mesh construction and sharding rules."""
+
+from vit_tpu.parallel.mesh import (  # noqa: F401
+    batch_sharding,
+    make_mesh,
+    replicated_sharding,
+)

@@ -1,0 +1,79 @@
+"""Mesh construction and sharding rules.
+
+TPU-native replacement for the reference's device selection + Lightning
+``'ddp'`` strategy (`/root/reference/src/hardware_utils.py:44-95`,
+`/root/reference/src/basemodule.py:226-229`): instead of one process per
+GPU with NCCL all-reduce, we build a `jax.sharding.Mesh` and shard the
+batch over its ``data`` axis; XLA inserts the gradient all-reduce over ICI.
+A ``model`` axis is reserved for tensor-parallel sharding of the larger
+image-ViT family (hidden/head dims), unused (size 1) for the spectra
+baseline.
+
+Multi-host: call :func:`maybe_initialize_distributed` once per process;
+the mesh then spans all hosts' devices (ICI within a slice, DCN across).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+__all__ = [
+    "make_mesh",
+    "batch_sharding",
+    "replicated_sharding",
+    "maybe_initialize_distributed",
+    "num_data_shards",
+]
+
+
+def maybe_initialize_distributed() -> None:
+    """Initialize jax.distributed when launched under a multi-host coordinator.
+
+    No-op for single-host runs (the common case on v4-8/v5e-8 slices).
+    """
+    if os.environ.get("JAX_COORDINATOR_ADDRESS") and jax.process_count() == 1:
+        try:
+            jax.distributed.initialize()
+        except (RuntimeError, ValueError) as e:  # already initialized / single host
+            print(f"[mesh] jax.distributed.initialize skipped: {e}")
+
+
+def make_mesh(
+    num_devices: Optional[int] = None,
+    model_parallel: int = 1,
+    devices: Optional[Sequence] = None,
+    axis_names: Sequence[str] = ("data", "model"),
+) -> Mesh:
+    """Build a ``(data, model)`` mesh over the available devices.
+
+    ``num_devices`` caps how many devices participate (reference
+    ``train.gpus`` semantics); ``model_parallel`` splits off a TP axis.
+    """
+    devs = list(devices if devices is not None else jax.devices())
+    if num_devices is not None and num_devices > 0:
+        devs = devs[: int(num_devices)]
+    n = len(devs)
+    if model_parallel < 1 or n % model_parallel != 0:
+        raise ValueError(
+            f"model_parallel={model_parallel} must divide device count {n}"
+        )
+    grid = np.asarray(devs).reshape(n // model_parallel, model_parallel)
+    return Mesh(grid, axis_names=tuple(axis_names))
+
+
+def num_data_shards(mesh: Mesh) -> int:
+    return mesh.shape.get("data", 1)
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Shard the leading (batch) axis over ``data``; replicate the rest."""
+    return NamedSharding(mesh, P("data"))
+
+
+def replicated_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())

@@ -1,0 +1,148 @@
+"""Checkpointing (orbax) with the reference's monitor/top-k/last semantics.
+
+Reference behavior (`/root/reference/src/vit.py:386-414`, Lightning
+``ModelCheckpoint``): save ``top_k=1`` on the monitored metric (``val_acc``
+max for cls, ``val_mae`` min for reg) plus ``last``; destination
+``$CKPT_DIR`` / ``./checkpoints``; eval resolves ``best | last | <path>``
+(`/root/reference/scripts/test.py:21,48`). Full training state (params,
+optimizer, step/epoch, plateau scale, RNG) is saved so ``--ckpt`` resumes
+exactly (`vit.py:464`).
+
+Layout::
+
+    <ckpt_dir>/<model_name>/
+        best/       orbax pytree of the best-monitor state
+        last/       orbax pytree of the latest state
+        meta.yaml   monitor name/mode, best value/epoch, config snapshot
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+from typing import Any, Optional
+
+import jax
+import yaml
+
+__all__ = ["CheckpointManager", "default_ckpt_dir"]
+
+
+def default_ckpt_dir() -> str:
+    """``$CKPT_DIR`` env or ``./checkpoints`` (reference `vit.py:14-15`)."""
+    return os.environ.get("CKPT_DIR", "./checkpoints")
+
+
+def _checkpointer():
+    import orbax.checkpoint as ocp
+
+    return ocp.StandardCheckpointer()
+
+
+class CheckpointManager:
+    """best+last checkpoints keyed on a monitored metric."""
+
+    def __init__(
+        self,
+        root_dir: str,
+        model_name: str,
+        monitor: str = "mae",
+        mode: str = "min",
+        enabled: bool = True,
+    ) -> None:
+        self.dir = os.path.abspath(os.path.join(root_dir, model_name))
+        self.monitor = monitor
+        self.mode = mode
+        self.enabled = enabled
+        self.best_value: Optional[float] = None
+        self.best_epoch: Optional[int] = None
+        if enabled:
+            os.makedirs(self.dir, exist_ok=True)
+            self._load_meta()
+
+    # -- paths ---------------------------------------------------------
+    @property
+    def best_path(self) -> str:
+        return os.path.join(self.dir, "best")
+
+    @property
+    def last_path(self) -> str:
+        return os.path.join(self.dir, "last")
+
+    def _meta_path(self) -> str:
+        return os.path.join(self.dir, "meta.yaml")
+
+    def _load_meta(self) -> None:
+        if os.path.exists(self._meta_path()):
+            with open(self._meta_path()) as f:
+                meta = yaml.safe_load(f) or {}
+            self.best_value = meta.get("best_value")
+            self.best_epoch = meta.get("best_epoch")
+
+    def _write_meta(self, epoch: int, config: Optional[dict]) -> None:
+        meta = {
+            "monitor": f"val_{self.monitor}",
+            "mode": self.mode,
+            "best_value": self.best_value,
+            "best_epoch": self.best_epoch,
+            "last_epoch": epoch,
+        }
+        if config is not None:
+            meta["config"] = config
+        with open(self._meta_path(), "w") as f:
+            yaml.safe_dump(meta, f, sort_keys=False)
+
+    # -- save/restore ----------------------------------------------------
+    def _save(self, path: str, state: Any) -> None:
+        ckptr = _checkpointer()
+        if os.path.exists(path):
+            shutil.rmtree(path)
+        ckptr.save(path, jax.device_get(state))
+        ckptr.wait_until_finished()
+
+    def on_epoch_end(
+        self,
+        state: Any,
+        epoch: int,
+        metric_value: Optional[float],
+        config: Optional[dict] = None,
+    ) -> bool:
+        """Save ``last`` (+ ``best`` if the monitor improved). Returns
+        whether this epoch became the new best."""
+        if not self.enabled:
+            # Still track best for reporting parity.
+            improved = self._improved(metric_value)
+            if improved:
+                self.best_value, self.best_epoch = metric_value, epoch
+            return improved
+        self._save(self.last_path, state)
+        improved = self._improved(metric_value)
+        if improved:
+            self.best_value, self.best_epoch = metric_value, epoch
+            self._save(self.best_path, state)
+        self._write_meta(epoch, config)
+        return improved
+
+    def _improved(self, value: Optional[float]) -> bool:
+        if value is None:
+            return False
+        if self.best_value is None:
+            return True
+        return value < self.best_value if self.mode == "min" else value > self.best_value
+
+    def resolve(self, spec: str) -> str:
+        """``'best' | 'last' | <path>`` -> checkpoint directory path."""
+        if spec == "best":
+            return self.best_path
+        if spec == "last":
+            return self.last_path
+        return os.path.abspath(spec)
+
+    @staticmethod
+    def restore(path: str, target: Any) -> Any:
+        """Restore a checkpoint into the structure of ``target``."""
+        path = os.path.abspath(path)
+        if not os.path.exists(path):
+            raise FileNotFoundError(f"Checkpoint not found: {path}")
+        ckptr = _checkpointer()
+        return ckptr.restore(path, target=jax.device_get(target))

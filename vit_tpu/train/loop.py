@@ -1,0 +1,431 @@
+"""jit-compiled train/eval loop and the Experiment facade.
+
+This is the TPU-native replacement for the reference's Lightning runtime
+(`/root/reference/src/basemodule.py:143-251`, `/root/reference/src/vit.py:58-465`):
+the inversion-of-control (callbacks/hooks) becomes an explicit host loop
+around two compiled functions.
+
+* ``train_step`` — loss (+on-the-fly noise injection, `vit.py:83-92`),
+  grads, global-norm clip (0.5 default), optimizer update with the LR
+  computed in-graph as ``base_lr * schedule(step) * plateau_scale``
+  (plateau decisions are host-side but only change a traced scalar — no
+  recompile). Preprocessor freeze (`prepca/callbacks.py` semantics) is a
+  0/1 scalar that masks both the gradients entering the optimizer and the
+  final updates, so frozen params neither move nor pollute momenta.
+* ``eval_step`` — deterministic forward returning fp32 logits; metric
+  reduction happens host-side on the mask-selected rows (exact despite
+  static-shape padding).
+* ``Experiment`` — fit/test with early stopping (patience 500 / sweep 100),
+  ReduceLROnPlateau, best/last checkpointing on ``val_<monitor>``, W&B/console
+  logging with the reference's metric key names, and ``--ckpt`` resume.
+
+Data parallelism: batches are placed with a ``data``-axis `NamedSharding`
+(double-buffered, :func:`vit_tpu.data.pipeline.prefetch_to_device`); params
+are replicated; XLA inserts the gradient all-reduce over ICI — the
+reference's ``'ddp'`` with zero hand-written communication.
+"""
+
+from __future__ import annotations
+
+import math
+import time
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+from vit_tpu.data.datasets import RegSpecDataset, SpecDataModule, parse_param_list
+from vit_tpu.data.pipeline import Batcher, prefetch_to_device
+from vit_tpu.models.builder import ModelBundle, get_model
+from vit_tpu.models.vit import compute_loss
+from vit_tpu.parallel.mesh import batch_sharding, make_mesh, replicated_sharding
+from vit_tpu.train.checkpoint import CheckpointManager, default_ckpt_dir
+from vit_tpu.train.logging import MetricLogger
+from vit_tpu.train.metrics import (
+    classification_metrics,
+    monitor_for_task,
+    regression_extras,
+    regression_metrics,
+)
+from vit_tpu.train.optim import (
+    EarlyStopping,
+    OptSpec,
+    PlateauScheduler,
+    build_optimizer,
+    schedule_scale,
+    set_learning_rate,
+)
+from vit_tpu.utils import count_params, seed_everything
+
+__all__ = ["TrainState", "Experiment", "make_train_step", "make_eval_step"]
+
+
+@struct.dataclass
+class TrainState:
+    step: jnp.ndarray  # int32 scalar
+    params: Any
+    opt_state: Any
+    rng: jnp.ndarray
+    plateau_scale: jnp.ndarray  # f32 scalar, host-updated
+    frozen: jnp.ndarray  # f32 scalar: 1.0 while the preprocessor is frozen
+
+
+def _mask_preprocessor(tree: Any, keep: jnp.ndarray) -> Any:
+    """Scale every leaf under the top-level 'preprocessor' scope by ``keep``."""
+
+    def mask(path, leaf):
+        if path and getattr(path[0], "key", None) == "preprocessor":
+            return leaf * keep.astype(leaf.dtype)
+        return leaf
+
+    return jax.tree_util.tree_map_with_path(mask, tree)
+
+
+def make_train_step(
+    bundle: ModelBundle,
+    tx,
+    spec: OptSpec,
+    noise_level: float,
+) -> Callable:
+    """Build the jitted training step. Donates the state for in-place HBM reuse."""
+    module = bundle.module
+    schedule = schedule_scale(spec)
+    task = bundle.vit_config.task_type
+    loss_name = bundle.loss_name
+    has_preproc = bundle.has_preprocessor
+
+    def train_step(state: TrainState, batch: Dict[str, jnp.ndarray]):
+        rng, noise_rng, dropout_rng = jax.random.split(state.rng, 3)
+        x = batch["x"]
+        if noise_level > 0:
+            x = x + jax.random.normal(noise_rng, x.shape, x.dtype) * batch["error"] * noise_level
+
+        def loss_fn(params):
+            logits = module.apply(
+                {"params": params}, x, deterministic=False, rngs={"dropout": dropout_rng}
+            )
+            return compute_loss(logits, batch["label"], task, loss_name)
+
+        loss, grads = jax.value_and_grad(loss_fn)(state.params)
+        if has_preproc:
+            keep = 1.0 - state.frozen
+            grads = _mask_preprocessor(grads, keep)
+        lr = spec.lr * schedule(state.step) * state.plateau_scale
+        opt_state = set_learning_rate(state.opt_state, lr)
+        updates, opt_state = tx.update(grads, opt_state, state.params)
+        if has_preproc:
+            updates = _mask_preprocessor(updates, 1.0 - state.frozen)
+        params = jax.tree_util.tree_map(
+            lambda p, u: (p + u.astype(p.dtype)), state.params, updates
+        )
+        new_state = state.replace(
+            step=state.step + 1, params=params, opt_state=opt_state, rng=rng
+        )
+        return new_state, {"loss": loss, "lr": lr}
+
+    return jax.jit(train_step, donate_argnums=(0,))
+
+
+def make_eval_step(bundle: ModelBundle) -> Callable:
+    module = bundle.module
+
+    def eval_step(params, batch):
+        return module.apply({"params": params}, batch["x"], deterministic=True)
+
+    return jax.jit(eval_step)
+
+
+def _host_loss(logits: np.ndarray, labels: np.ndarray, task: str, loss_name: str) -> float:
+    if task == "cls":
+        z = logits - logits.max(axis=-1, keepdims=True)
+        logp = z - np.log(np.exp(z).sum(axis=-1, keepdims=True))
+        return float(-logp[np.arange(len(labels)), labels.astype(int)].mean())
+    diff = logits.reshape(len(logits), -1) - labels.reshape(len(labels), -1)
+    if "l1" in (loss_name or "l2").lower():
+        return float(np.abs(diff).mean())
+    return float((diff**2).mean())
+
+
+class Experiment:
+    """Facade: build model + data + optimizer, then ``fit`` / ``test``.
+
+    Mirrors the reference ``Experiment`` (`/root/reference/src/vit.py:437-465`)
+    surface: ``Experiment(config, use_wandb, sweep, ckpt_path).run()``.
+    """
+
+    def __init__(
+        self,
+        config: dict,
+        use_wandb: bool = False,
+        sweep: bool = False,
+        ckpt_path: Optional[str] = None,
+        num_devices: Optional[int] = None,
+        seed: int = 42,
+    ) -> None:
+        self.config = config
+        self.sweep = sweep
+        self.ckpt_path = ckpt_path
+        self.seed = seed
+        seed_everything(seed)
+
+        self.bundle = get_model(config)
+        self.datamodule = SpecDataModule.from_config(config)
+        train_cfg = config.get("train", {}) or {}
+        self.max_epochs = int(train_cfg.get("ep", 10))
+        self.debug = bool(train_cfg.get("debug", 0))
+        self.save = bool(train_cfg.get("save", False))
+        self.batch_size = int(train_cfg.get("batch_size", 64))
+        self.noise_level = float((config.get("noise", {}) or {}).get("noise_level", 0) or 0)
+        if num_devices is None:
+            num_devices = train_cfg.get("gpus")  # CLI-injected device count
+        self.mesh = make_mesh(num_devices=num_devices)
+        # Keep per-device batch shape static: the data axis must divide batch.
+        n_dev = self.mesh.devices.size
+        data_par = math.gcd(self.batch_size, n_dev)
+        if data_par != n_dev:
+            print(f"[experiment] batch {self.batch_size} not divisible by {n_dev} devices; using {data_par}")
+            self.mesh = make_mesh(num_devices=data_par)
+        self.batch_shard = batch_sharding(self.mesh)
+        self.repl_shard = replicated_sharding(self.mesh)
+
+        self.monitor, self.monitor_mode = monitor_for_task(self.bundle.vit_config.task_type)
+        self.logger = MetricLogger(
+            project=config.get("project", "vit-tpu"),
+            name=self.bundle.model_name,
+            use_wandb=use_wandb,
+            config=config,
+            save_artifacts=self.save,
+        )
+        self.ckpt = CheckpointManager(
+            default_ckpt_dir(),
+            self.bundle.model_name,
+            monitor=self.monitor,
+            mode=self.monitor_mode,
+            enabled=self.save,
+        )
+        self.state: Optional[TrainState] = None
+        self._eval_step = None
+        self.callback_metrics: Dict[str, float] = {}
+
+    # -- construction helpers -------------------------------------------
+    def _init_state(self, tx) -> TrainState:
+        cfg = self.bundle.vit_config
+        rng = jax.random.PRNGKey(self.seed)
+        init_rng, state_rng = jax.random.split(rng)
+        if cfg.input_kind == "image":
+            dummy = jnp.zeros((1, cfg.image_size, cfg.image_size, cfg.num_channels), jnp.float32)
+        else:
+            in_dim = (
+                self.datamodule.train.flux.shape[1]
+                if self.datamodule.train is not None and self.datamodule.train.flux is not None
+                else cfg.image_size
+            )
+            dummy = jnp.zeros((1, in_dim), jnp.float32)
+        variables = self.bundle.module.init(init_rng, dummy)
+        params = jax.device_put(variables["params"], self.repl_shard)
+        opt_state = jax.device_put(tx.init(params), self.repl_shard)
+        return TrainState(
+            step=jnp.zeros((), jnp.int32),
+            params=params,
+            opt_state=opt_state,
+            rng=state_rng,
+            plateau_scale=jnp.ones((), jnp.float32),
+            frozen=jnp.zeros((), jnp.float32),
+        )
+
+    def _frozen_flag(self, epoch: int) -> float:
+        """PreprocessorFreezeCallback semantics (`prepca/callbacks.py:31-62`):
+        -1 permanent freeze; >0 freeze for the first N epochs; 0 never."""
+        fe = self.bundle.freeze_epochs
+        if not self.bundle.has_preprocessor or fe == 0:
+            return 0.0
+        if fe == -1:
+            return 1.0
+        return 1.0 if epoch < fe else 0.0
+
+    # -- evaluation -------------------------------------------------------
+    def _run_eval(
+        self, dataset, batch_size: int, collect_inputs: bool = False
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """Forward the dataset; returns (logits, labels) for real rows."""
+        if self._eval_step is None:
+            self._eval_step = make_eval_step(self.bundle)
+        n_shards = self.mesh.shape.get("data", 1)
+        bs = max(n_shards, (batch_size // n_shards) * n_shards)
+        batcher = Batcher(dataset.arrays(), bs, eval_mode=True)
+        logits_all, labels_all = [], []
+        params = self.state.params
+        for batch in prefetch_to_device(iter(batcher), sharding=self.batch_shard):
+            logits = self._eval_step(params, batch)
+            mask = np.asarray(jax.device_get(batch["mask"]))
+            logits_all.append(np.asarray(jax.device_get(logits))[mask])
+            labels_all.append(np.asarray(jax.device_get(batch["label"]))[mask])
+        return np.concatenate(logits_all), np.concatenate(labels_all)
+
+    def _eval_metrics(self, dataset, prefix: str, batch_size: int) -> Dict[str, float]:
+        logits, labels = self._run_eval(dataset, batch_size)
+        task = self.bundle.vit_config.task_type
+        out: Dict[str, float] = {
+            f"{prefix}_loss": _host_loss(logits, labels, task, self.bundle.loss_name)
+        }
+        if task == "cls":
+            m = classification_metrics(logits, labels)
+        else:
+            m = regression_metrics(logits, labels)
+            names = parse_param_list((self.config.get("data", {}) or {}).get("param"))
+            m.update(regression_extras(logits, labels, names))
+        out.update({f"{prefix}_{k}": v for k, v in m.items()})
+        return out
+
+    # -- fit ---------------------------------------------------------------
+    def fit(self) -> Dict[str, float]:
+        self.datamodule.setup("fit")
+        train_ds = self.datamodule.train
+        n_train = len(train_ds)
+        steps_per_epoch = max(1, -(-n_train // self.batch_size))
+        has_val = self.datamodule.val is not None and len(self.datamodule.val) > 0
+
+        spec = OptSpec.from_config(
+            self.config, steps_per_epoch, monitor_metric=self.monitor, has_val=has_val
+        )
+        tx = build_optimizer(spec)
+        if self.state is None:
+            self.state = self._init_state(tx)
+        train_step = make_train_step(self.bundle, tx, spec, self.noise_level)
+
+        start_epoch = 0
+        if self.ckpt_path:
+            restored = CheckpointManager.restore(
+                self.ckpt.resolve(self.ckpt_path), self.state
+            )
+            self.state = jax.device_put(restored, self.repl_shard)
+            start_epoch = int(self.state.step) // steps_per_epoch
+            print(f"[experiment] resumed from {self.ckpt_path} at epoch {start_epoch}")
+
+        n_params = count_params(self.state.params)
+        self.logger.log({"num_params(M)": n_params / 1e6}, step=0)
+        print(f"[experiment] {self.bundle.model_name}: {n_params / 1e6:.3f}M params, "
+              f"{steps_per_epoch} steps/epoch, mesh={dict(self.mesh.shape)}")
+
+        plateau = (
+            PlateauScheduler(
+                spec.plateau_factor,
+                spec.plateau_patience,
+                mode=spec.plateau_mode or self.monitor_mode,
+            )
+            if spec.scheduler == "plateau"
+            else None
+        )
+        early = EarlyStopping(patience=100 if self.sweep else 500, mode=self.monitor_mode)
+
+        batcher = Batcher(
+            train_ds.arrays(),
+            self.batch_size,
+            shuffle=not self.debug,
+            seed=self.seed,
+        )
+        max_epochs = 1 if self.debug else self.max_epochs
+        monitor_key = f"val_{self.monitor}"
+        epoch_metrics: Dict[str, float] = {}
+
+        for epoch in range(start_epoch, max_epochs):
+            self.state = self.state.replace(
+                frozen=jnp.asarray(self._frozen_flag(epoch), jnp.float32)
+            )
+            batcher.set_epoch(epoch)
+            t0 = time.perf_counter()
+            losses = []
+            last_lr = spec.lr
+            for i, batch in enumerate(
+                prefetch_to_device(iter(batcher), sharding=self.batch_shard)
+            ):
+                self.state, m = train_step(self.state, batch)
+                losses.append(m["loss"])
+                last_lr = m["lr"]
+                if self.debug and i == 0:
+                    break
+            train_loss = float(np.mean(jax.device_get(losses)))
+            dt = time.perf_counter() - t0
+            n_steps = len(losses)
+            epoch_metrics = {
+                "train_loss": train_loss,
+                "lr": float(jax.device_get(last_lr)),
+                "epoch_time_s": dt,
+                "samples_per_s": n_steps * self.batch_size / max(dt, 1e-9),
+            }
+            if self.bundle.has_preprocessor:
+                epoch_metrics["preprocessor_frozen"] = float(self.state.frozen)
+
+            if has_val:
+                val_metrics = self._eval_metrics(
+                    self.datamodule.val, "val", self.datamodule.val_batch_size
+                )
+                epoch_metrics.update(val_metrics)
+                mon = val_metrics.get(monitor_key)
+                if plateau is not None:
+                    scale = plateau.step(mon)
+                    self.state = self.state.replace(
+                        plateau_scale=jnp.asarray(scale, jnp.float32)
+                    )
+                self.ckpt.on_epoch_end(self.state, epoch, mon, config=self.config)
+                self.logger.log_epoch(epoch, epoch_metrics, step=int(self.state.step))
+                if early.step(mon):
+                    print(f"[experiment] early stopping at epoch {epoch}")
+                    break
+            else:
+                self.ckpt.on_epoch_end(self.state, epoch, None, config=self.config)
+                self.logger.log_epoch(epoch, epoch_metrics, step=int(self.state.step))
+
+        self.callback_metrics = dict(epoch_metrics)
+        return epoch_metrics
+
+    # -- test ----------------------------------------------------------------
+    def test(self, ckpt: Optional[str] = None) -> Dict[str, float]:
+        self.datamodule.setup("test")
+        if self.state is None:
+            # eval-only entry: build an optimizer-shaped state to restore into
+            spec = OptSpec.from_config(self.config, 1, monitor_metric=self.monitor)
+            tx = build_optimizer(spec)
+            self.state = self._init_state(tx)
+        if ckpt:
+            restored = CheckpointManager.restore(self.ckpt.resolve(ckpt), self.state)
+            self.state = jax.device_put(restored, self.repl_shard)
+        metrics = self._eval_metrics(
+            self.datamodule.test, "test", self.batch_size
+        )
+        self.logger.log_epoch(-1, metrics)
+        self.callback_metrics.update(metrics)
+        # Regression test report (denormalized plots) — viz subsystem.
+        try:
+            self._test_report()
+        except Exception as e:  # plots must never fail the eval entry point
+            print(f"[experiment] test report skipped: {e}")
+        return metrics
+
+    def _test_report(self) -> None:
+        """Denormalized prediction report (reference `vit.py:217-295`)."""
+        ds = self.datamodule.test
+        if self.bundle.vit_config.task_type != "reg" or not isinstance(ds, RegSpecDataset):
+            return
+        viz_cfg = self.config.get("viz", {}) or {}
+        if not viz_cfg.get("enable", False):
+            return
+        from vit_tpu.viz.plotter import RegressionPlotter
+
+        logits, labels = self._run_eval(ds, self.batch_size)
+        plotter = RegressionPlotter(
+            param_names=parse_param_list((self.config.get("data", {}) or {}).get("param")),
+            denormalize=ds.denormalize,
+            model_name=self.bundle.model_name,
+        )
+        plotter.generate_all_plots(logits, labels, logger=self.logger)
+
+    def run(self) -> Dict[str, float]:
+        """``fit`` then ``test`` (reference `vit.py:463-465`)."""
+        self.fit()
+        ckpt = "best" if (self.save and self.ckpt.best_epoch is not None) else None
+        metrics = self.test(ckpt=ckpt)
+        self.logger.finish()
+        return metrics

@@ -1,0 +1,314 @@
+"""Optimizer + LR schedule factory (optax).
+
+Semantic parity with the reference's ``OptModule``
+(`/root/reference/src/opt/optimizer.py`) and its Lightning wiring
+(`/root/reference/src/basemodule.py:152-180`):
+
+* 11-name optimizer table (adam/adamw/sgd/rmsprop/adadelta/adagrad/adamax/
+  asgd/lbfgs/rprop/sparseadam — the last two map to their closest optax
+  equivalents: asgd->sgd, sparseadam->adam, with a warning).
+* Schedulers: ``cosine`` (CosineAnnealingLR: T_max from ``opt.T_max`` or
+  ``train.ep``, optional eta_min; stepped per *epoch*), ``onecycle``
+  (per-*step* cosine one-cycle with torch defaults pct_start=0.3,
+  div_factor=25, final_div_factor=1e4), ``constant`` (factor until
+  total_iters epochs), ``plateau`` (host-driven multiplicative scale, see
+  :class:`PlateauScheduler`), ``none``.
+* Linear warmup (start at 10% of LR) for ``warmup.ratio`` /
+  ``warmup_epochs`` epochs, composed in front of the main scheduler
+  (SequentialLR semantics: the main scheduler's clock starts *after*
+  warmup); skipped for onecycle (`optimizer.py:117-144`).
+* Gradient clipping by global norm (Lightning ``gradient_clip_val``,
+  default 0.5 — `basemodule.py:244`).
+
+TPU-first mechanics: the *scheduled* LR is computed inside the jit-compiled
+train step as ``base_lr * schedule_scale(step) * plateau_scale`` — a traced
+scalar, so plateau decisions (host-side, metric-driven) never trigger a
+recompile. The LR is injected into the optimizer via
+``optax.inject_hyperparams``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Any, Callable, Dict, Optional
+
+import jax.numpy as jnp
+import optax
+
+__all__ = [
+    "OptSpec",
+    "build_optimizer",
+    "schedule_scale",
+    "set_learning_rate",
+    "PlateauScheduler",
+    "EarlyStopping",
+]
+
+_FALLBACKS = {"asgd": "sgd", "sparseadam": "adam"}
+
+_KNOWN = (
+    "adam",
+    "adamw",
+    "sgd",
+    "rmsprop",
+    "adadelta",
+    "adagrad",
+    "adamax",
+    "lbfgs",
+    "rprop",
+)
+
+
+@dataclasses.dataclass
+class OptSpec:
+    """Resolved optimizer/scheduler configuration (all static)."""
+
+    lr: float = 1e-3
+    opt_type: str = "adam"
+    weight_decay: float = 0.0
+    scheduler: Optional[str] = None  # canonical: cosine|onecycle|constant|plateau|None
+    grad_clip: float = 0.5
+    # scheduler params
+    t_max: int = 100  # cosine period, in epochs
+    eta_min: float = 0.0
+    pct_start: float = 0.3
+    div_factor: float = 25.0
+    final_div_factor: float = 1e4
+    constant_factor: float = 1.0
+    constant_total_iters: int = 1
+    plateau_factor: float = 0.1
+    plateau_patience: int = 10
+    plateau_mode: Optional[str] = None  # None -> follow the monitor's mode
+    # warmup
+    warmup_epochs: int = 0
+    # step geometry
+    steps_per_epoch: int = 1
+    total_epochs: int = 100
+    monitor_metric: str = "loss"
+
+    @classmethod
+    def from_config(
+        cls,
+        config: dict,
+        steps_per_epoch: int,
+        monitor_metric: str = "loss",
+        has_val: bool = True,
+    ) -> "OptSpec":
+        """Resolve the ``opt`` (+``train``/``warmup``) sections.
+
+        Mirrors ``OptModule.from_config`` + ``configure_optimizers``: the
+        plateau scheduler is disabled when there is no validation set
+        (`basemodule.py:158-166`).
+        """
+        opt_cfg = dict(config.get("opt", {}) or {})
+        train_cfg = config.get("train", {}) or {}
+        warmup_cfg = config.get("warmup", {}) or {}
+        total_epochs = int(train_cfg.get("ep", 10))
+
+        sched = opt_cfg.get("lr_sch")
+        sched = None if sched is None else str(sched).lower()
+        if sched in ("none", "null", ""):
+            sched = None
+        # canonicalize aliases (cosineannealinglr etc.)
+        canonical = None
+        if sched is not None:
+            for key in ("cosine", "onecycle", "constant", "plateau"):
+                if key in sched:
+                    canonical = key
+                    break
+            if canonical is None:
+                raise ValueError(f"Unknown scheduler: {sched}")
+        if canonical == "plateau" and not has_val:
+            print("[optim] no validation set — disabling plateau scheduler")
+            canonical = None
+
+        warmup_ratio = float(warmup_cfg.get("ratio", opt_cfg.get("warmup_ratio", 0.0)) or 0.0)
+        warmup_epochs = warmup_cfg.get("epochs", opt_cfg.get("warmup_epochs"))
+        t_max = int(opt_cfg.get("T_max", total_epochs))
+        if warmup_epochs is not None:
+            warmup_epochs = int(warmup_epochs)
+        elif warmup_ratio > 0:
+            # reference computes warmup from T_max/epochs, default 100
+            base_epochs = int(opt_cfg.get("T_max", opt_cfg.get("epochs", 100)))
+            warmup_epochs = max(1, int(base_epochs * warmup_ratio))
+        else:
+            warmup_epochs = 0
+        if canonical == "onecycle":
+            warmup_epochs = 0  # onecycle has built-in warmup
+
+        return cls(
+            lr=float(opt_cfg.get("lr", 1e-3)),
+            opt_type=str(opt_cfg.get("type", "adam")).lower(),
+            weight_decay=float(opt_cfg.get("weight_decay", 0.0) or 0.0),
+            scheduler=canonical,
+            grad_clip=float(train_cfg.get("grad_clip", 0.5)),
+            t_max=t_max,
+            eta_min=float(opt_cfg.get("eta_min", 0.0)),
+            pct_start=float(opt_cfg.get("pct_start", 0.3)),
+            div_factor=float(opt_cfg.get("div_factor", 25.0)),
+            final_div_factor=float(opt_cfg.get("final_div_factor", 1e4)),
+            constant_factor=float(opt_cfg.get("factor", 1.0)),
+            constant_total_iters=int(opt_cfg.get("total_iters", 1)),
+            plateau_factor=float(opt_cfg.get("factor", 0.1)),
+            plateau_patience=int(opt_cfg.get("patience", 10)),
+            plateau_mode=opt_cfg.get("mode"),
+            warmup_epochs=warmup_epochs,
+            steps_per_epoch=max(1, int(steps_per_epoch)),
+            total_epochs=total_epochs,
+            monitor_metric=monitor_metric,
+        )
+
+
+def _core_optimizer(name: str, learning_rate, weight_decay: float):
+    if name in _FALLBACKS:
+        print(f"[optim] '{name}' has no optax equivalent; using '{_FALLBACKS[name]}'")
+        name = _FALLBACKS[name]
+    if name not in _KNOWN:
+        raise ValueError(f"Unknown optimizer type '{name}'")
+    if name == "adamw":
+        return optax.adamw(learning_rate, weight_decay=weight_decay)
+    if name == "sgd":
+        tx = optax.sgd(learning_rate)
+    elif name == "lbfgs":
+        tx = optax.lbfgs(learning_rate)
+    else:
+        tx = getattr(optax, name)(learning_rate)
+    if weight_decay:
+        # torch couples L2 into the gradient for non-AdamW optimizers.
+        tx = optax.chain(optax.add_decayed_weights(weight_decay), tx)
+    return tx
+
+
+def schedule_scale(spec: OptSpec) -> Callable[[Any], Any]:
+    """Return ``f(step) -> scale`` (jnp scalar), LR = base_lr * scale.
+
+    Epoch-granularity for cosine/constant (+warmup), per-step for onecycle
+    — matching the Lightning ``interval`` settings (`optimizer.py:150-172`).
+    """
+    spe = spec.steps_per_epoch
+    warm = spec.warmup_epochs
+
+    def f(step):
+        step = jnp.asarray(step, jnp.float32)
+        epoch = jnp.floor(step / spe)
+
+        if spec.scheduler == "onecycle":
+            total_steps = float(spec.total_epochs * spe)
+            init_scale = 1.0 / spec.div_factor
+            final_scale = init_scale / spec.final_div_factor
+            up = spec.pct_start * total_steps
+            pct_up = jnp.clip(step / jnp.maximum(up, 1.0), 0.0, 1.0)
+            scale_up = init_scale + (1.0 - init_scale) * 0.5 * (1 - jnp.cos(math.pi * pct_up))
+            pct_down = jnp.clip((step - up) / jnp.maximum(total_steps - up, 1.0), 0.0, 1.0)
+            scale_down = final_scale + (1.0 - final_scale) * 0.5 * (1 + jnp.cos(math.pi * pct_down))
+            return jnp.where(step <= up, scale_up, scale_down)
+
+        # epoch-based schedulers, with optional linear warmup prefix
+        main_epoch = jnp.maximum(epoch - warm, 0.0)
+        if spec.scheduler == "cosine":
+            eta_ratio = spec.eta_min / spec.lr if spec.lr else 0.0
+            t = jnp.clip(main_epoch, 0.0, float(spec.t_max))
+            main = eta_ratio + (1.0 - eta_ratio) * 0.5 * (1 + jnp.cos(math.pi * t / spec.t_max))
+        elif spec.scheduler == "constant":
+            main = jnp.where(
+                main_epoch < spec.constant_total_iters, spec.constant_factor, 1.0
+            )
+        else:  # none / plateau (plateau scale handled by the host)
+            main = jnp.asarray(1.0, jnp.float32)
+
+        if warm > 0:
+            # torch LinearLR(start_factor=0.1): 0.1 + 0.9 * min(e, warm)/warm
+            wfac = 0.1 + 0.9 * jnp.clip(epoch / warm, 0.0, 1.0)
+            return jnp.where(epoch < warm, wfac, main)
+        return main
+
+    return f
+
+
+def build_optimizer(spec: OptSpec) -> optax.GradientTransformation:
+    """clip_by_global_norm -> core optimizer with injected learning_rate."""
+    core = optax.inject_hyperparams(
+        lambda learning_rate: _core_optimizer(spec.opt_type, learning_rate, spec.weight_decay)
+    )(learning_rate=spec.lr)
+    if spec.grad_clip and spec.grad_clip > 0:
+        return optax.chain(optax.clip_by_global_norm(spec.grad_clip), core)
+    return optax.chain(core)
+
+
+def set_learning_rate(opt_state, lr):
+    """Functionally set the injected learning_rate (inside jit)."""
+    # build_optimizer returns a chain whose last element is the inject state.
+    inner = opt_state[-1]
+    hp = dict(inner.hyperparams)
+    hp["learning_rate"] = lr
+    new_inner = inner._replace(hyperparams=hp)
+    return opt_state[:-1] + (new_inner,)
+
+
+class PlateauScheduler:
+    """Host-side ReduceLROnPlateau (torch semantics, threshold 1e-4 rel).
+
+    Produces a multiplicative ``scale`` consumed by the train step; calling
+    :meth:`step` after each validation epoch updates it.
+    """
+
+    def __init__(self, factor: float = 0.1, patience: int = 10, mode: str = "min"):
+        self.factor = factor
+        self.patience = patience
+        self.mode = mode
+        self.threshold = 1e-4
+        self.best: Optional[float] = None
+        self.num_bad = 0
+        self.scale = 1.0
+
+    def _improved(self, value: float) -> bool:
+        if self.best is None:
+            return True
+        if self.mode == "min":
+            return value < self.best * (1 - self.threshold)
+        return value > self.best * (1 + self.threshold)
+
+    def step(self, value: float) -> float:
+        if value is None or not math.isfinite(value):
+            return self.scale
+        if self._improved(value):
+            self.best = value
+            self.num_bad = 0
+        else:
+            self.num_bad += 1
+            if self.num_bad > self.patience:
+                self.scale *= self.factor
+                self.num_bad = 0
+                print(f"[plateau] reducing LR scale to {self.scale:.3e}")
+        return self.scale
+
+
+class EarlyStopping:
+    """Host-side early stopping on the monitored metric.
+
+    Reference patience: 500 (run) / 100 (sweep) (`vit.py:364-365,417-425`).
+    """
+
+    def __init__(self, patience: int = 500, mode: str = "min"):
+        self.patience = patience
+        self.mode = mode
+        self.best: Optional[float] = None
+        self.num_bad = 0
+
+    def step(self, value: float) -> bool:
+        """Returns True when training should stop."""
+        if value is None or not math.isfinite(value):
+            self.num_bad += 1
+            return self.num_bad >= self.patience
+        improved = (
+            self.best is None
+            or (self.mode == "min" and value < self.best)
+            or (self.mode == "max" and value > self.best)
+        )
+        if improved:
+            self.best = value
+            self.num_bad = 0
+        else:
+            self.num_bad += 1
+        return self.num_bad >= self.patience
