@@ -77,3 +77,31 @@ def batch_sharding(mesh: Mesh) -> NamedSharding:
 
 def replicated_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
+
+
+def infer_param_shardings(params, mesh: Mesh):
+    """Megatron-style tensor-parallel layout over the ``model`` axis.
+
+    Dense kernels shard their output-features dim when divisible by the TP
+    degree (column parallel); GSPMD propagates activation shardings and
+    inserts the reduce-scatter/all-gather collectives. Biases, LayerNorm
+    scales, and indivisible kernels replicate. With ``model=1`` this
+    degenerates to pure data parallelism (the reference's only mode).
+    """
+    tp = mesh.shape.get("model", 1)
+
+    def rule(path, leaf):
+        if (
+            tp > 1
+            and hasattr(leaf, "ndim")
+            and leaf.ndim >= 2
+            and leaf.shape[-1] % tp == 0
+            and leaf.shape[-1] >= 2 * tp
+        ):
+            spec = P(*([None] * (leaf.ndim - 1) + ["model"]))
+            return NamedSharding(mesh, spec)
+        return NamedSharding(mesh, P())
+
+    import jax as _jax
+
+    return _jax.tree_util.tree_map_with_path(rule, params)

@@ -88,8 +88,15 @@ def make_train_step(
     tx,
     spec: OptSpec,
     noise_level: float,
+    state_sharding=None,
+    batch_sharding_=None,
 ) -> Callable:
-    """Build the jitted training step. Donates the state for in-place HBM reuse."""
+    """Build the jitted training step. Donates the state for in-place HBM reuse.
+
+    Explicit in/out shardings pin the compile signature: host-side updates to
+    the plateau/freeze scalars (uncommitted arrays) would otherwise flip the
+    committed-ness part of the jit cache key and recompile every epoch.
+    """
     module = bundle.module
     schedule = schedule_scale(spec)
     task = bundle.vit_config.task_type
@@ -125,16 +132,30 @@ def make_train_step(
         )
         return new_state, {"loss": loss, "lr": lr}
 
-    return jax.jit(train_step, donate_argnums=(0,))
+    kwargs = {}
+    if state_sharding is not None:
+        kwargs = dict(
+            in_shardings=(state_sharding, batch_sharding_),
+            out_shardings=(state_sharding, state_sharding),
+        )
+    return jax.jit(train_step, donate_argnums=(0,), **kwargs)
 
 
-def make_eval_step(bundle: ModelBundle) -> Callable:
+def make_eval_step(
+    bundle: ModelBundle, state_sharding=None, batch_sharding_=None
+) -> Callable:
     module = bundle.module
 
     def eval_step(params, batch):
         return module.apply({"params": params}, batch["x"], deterministic=True)
 
-    return jax.jit(eval_step)
+    kwargs = {}
+    if state_sharding is not None:
+        kwargs = dict(
+            in_shardings=(state_sharding, batch_sharding_),
+            out_shardings=state_sharding,
+        )
+    return jax.jit(eval_step, **kwargs)
 
 
 def _host_loss(logits: np.ndarray, labels: np.ndarray, task: str, loss_name: str) -> float:
@@ -224,16 +245,22 @@ class Experiment:
             )
             dummy = jnp.zeros((1, in_dim), jnp.float32)
         variables = self.bundle.module.init(init_rng, dummy)
-        params = jax.device_put(variables["params"], self.repl_shard)
-        opt_state = jax.device_put(tx.init(params), self.repl_shard)
-        return TrainState(
+        params = variables["params"]
+        state = TrainState(
             step=jnp.zeros((), jnp.int32),
             params=params,
-            opt_state=opt_state,
+            opt_state=tx.init(params),
             rng=state_rng,
             plateau_scale=jnp.ones((), jnp.float32),
             frozen=jnp.zeros((), jnp.float32),
         )
+        # Commit every leaf with the replicated sharding so the jit signature
+        # is identical on the first and every later call (no recompiles).
+        return jax.device_put(state, self.repl_shard)
+
+    def _scalar(self, value: float) -> jnp.ndarray:
+        """Replicated committed f32 scalar (stable jit cache key)."""
+        return jax.device_put(jnp.asarray(value, jnp.float32), self.repl_shard)
 
     def _frozen_flag(self, epoch: int) -> float:
         """PreprocessorFreezeCallback semantics (`prepca/callbacks.py:31-62`):
@@ -251,7 +278,9 @@ class Experiment:
     ) -> Tuple[np.ndarray, np.ndarray]:
         """Forward the dataset; returns (logits, labels) for real rows."""
         if self._eval_step is None:
-            self._eval_step = make_eval_step(self.bundle)
+            self._eval_step = make_eval_step(
+                self.bundle, self.repl_shard, self.batch_shard
+            )
         n_shards = self.mesh.shape.get("data", 1)
         bs = max(n_shards, (batch_size // n_shards) * n_shards)
         batcher = Batcher(dataset.arrays(), bs, eval_mode=True)
@@ -293,7 +322,9 @@ class Experiment:
         tx = build_optimizer(spec)
         if self.state is None:
             self.state = self._init_state(tx)
-        train_step = make_train_step(self.bundle, tx, spec, self.noise_level)
+        train_step = make_train_step(
+            self.bundle, tx, spec, self.noise_level, self.repl_shard, self.batch_shard
+        )
 
         start_epoch = 0
         if self.ckpt_path:
@@ -331,9 +362,7 @@ class Experiment:
         epoch_metrics: Dict[str, float] = {}
 
         for epoch in range(start_epoch, max_epochs):
-            self.state = self.state.replace(
-                frozen=jnp.asarray(self._frozen_flag(epoch), jnp.float32)
-            )
+            self.state = self.state.replace(frozen=self._scalar(self._frozen_flag(epoch)))
             batcher.set_epoch(epoch)
             t0 = time.perf_counter()
             losses = []
@@ -365,9 +394,8 @@ class Experiment:
                 epoch_metrics.update(val_metrics)
                 mon = val_metrics.get(monitor_key)
                 if plateau is not None:
-                    scale = plateau.step(mon)
                     self.state = self.state.replace(
-                        plateau_scale=jnp.asarray(scale, jnp.float32)
+                        plateau_scale=self._scalar(plateau.step(mon))
                     )
                 self.ckpt.on_epoch_end(self.state, epoch, mon, config=self.config)
                 self.logger.log_epoch(epoch, epoch_metrics, step=int(self.state.step))
