@@ -1,0 +1,99 @@
+"""Vmapped parallel LR sweep tests (8-device CPU mesh)."""
+
+import os
+
+import numpy as np
+import pytest
+import yaml
+
+from vit_tpu.opt.parallel_sweep import ParallelSweepRunner, SweepConfig
+
+
+@pytest.fixture()
+def sweep_base_config(tiny_config, tmp_path):
+    cfg = dict(tiny_config)
+    cfg["train"] = dict(tiny_config["train"], ep=2, batch_size=16)
+    path = tmp_path / "base.yaml"
+    with open(path, "w") as f:
+        yaml.safe_dump(cfg, f)
+    return str(path)
+
+
+def test_grid_construction(sweep_base_config):
+    runner = ParallelSweepRunner(
+        sweep_base_config,
+        lr_values=[1e-4, 1e-3],
+        schedulers=["plateau", "cosine", "none"],
+        plateau_factors=[0.8],
+        plateau_patience=[10],
+    )
+    # 2 lrs x (1 plateau combo + cosine + none) = 6
+    assert len(runner.sweep_configs) == 6
+    kinds = {(c.lr, c.scheduler) for c in runner.sweep_configs}
+    assert (1e-4, "plateau") in kinds and (1e-3, None) in kinds
+    plat = [c for c in runner.sweep_configs if c.scheduler == "plateau"][0]
+    assert plat.factor == 0.8 and plat.patience == 10
+    cos = [c for c in runner.sweep_configs if c.scheduler == "cosine"][0]
+    assert cos.T_max == 2  # from train.ep
+
+
+def test_opt_config_serialization():
+    c = SweepConfig(0, 1e-3, "plateau", factor=0.5, patience=3)
+    assert c.to_opt_config() == {"lr": 1e-3, "lr_sch": "plateau", "factor": 0.5, "patience": 3}
+    c2 = SweepConfig(1, 1e-4, None)
+    assert c2.to_opt_config() == {"lr": 1e-4}
+    assert "scheduler" not in c2.to_dict()
+
+
+def test_dry_run_no_artifacts(sweep_base_config, tmp_path):
+    runner = ParallelSweepRunner(
+        sweep_base_config, lr_values=[1e-3], results_dir=str(tmp_path / "runs")
+    )
+    assert runner.run(dry_run=True) is None
+    assert not os.path.exists(runner.summary_path)
+
+
+def test_vmapped_sweep_end_to_end(sweep_base_config, tmp_path):
+    """7 lr values + mixed schedulers run in ONE vmapped launch."""
+    runner = ParallelSweepRunner(
+        sweep_base_config,
+        lr_values=[1e-5, 1e-4, 1e-3, 1e-2],
+        schedulers=["none", "plateau"],
+        plateau_factors=[0.8],
+        plateau_patience=[0],
+        results_dir=str(tmp_path / "runs"),
+        seed=0,
+    )
+    best = runner.run()
+    assert best is not None and best.metric is not None
+
+    with open(runner.summary_path) as f:
+        summary = yaml.safe_load(f)
+    assert summary["num_configs"] == 8
+    assert len(summary["results"]) == 8
+    # launch.sh contract: best.config.lr readable
+    assert "lr" in summary["best"]["config"]
+    metrics = [r["metric"] for r in summary["results"] if r["status"] == "ok"]
+    assert len(metrics) >= 6  # most replicas finite
+    # best is the min metric among ok results
+    assert summary["best"]["metric"] == pytest.approx(min(metrics))
+    # different lrs actually produce different outcomes (replicas independent)
+    assert len({round(m, 8) for m in metrics}) > 1
+
+    with open(runner.best_config_path) as f:
+        best_cfg = yaml.safe_load(f)
+    assert best_cfg["opt"]["lr"] == summary["best"]["config"]["lr"]
+    assert best_cfg["_meta"]["generator"] == "vit_tpu.opt.parallel_sweep"
+
+
+def test_sweep_requires_val(sweep_base_config, tmp_path):
+    with open(sweep_base_config) as f:
+        cfg = yaml.safe_load(f)
+    cfg["data"]["val_path"] = None
+    path = str(tmp_path / "noval.yaml")
+    with open(path, "w") as f:
+        yaml.safe_dump(cfg, f)
+    runner = ParallelSweepRunner(path, lr_values=[1e-3], results_dir=str(tmp_path / "r"))
+    # no validation split -> the sweep cannot rank replicas and must say so
+    with pytest.raises(RuntimeError, match="validation"):
+        runner.run()

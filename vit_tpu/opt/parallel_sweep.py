@@ -1,0 +1,534 @@
+"""Parallel LR + scheduler grid search as vmapped TPU replicas.
+
+CLI/artifact parity with `/root/reference/src/opt/parallel_sweep.py`
+(``ParallelSweepRunner``, ``SweepConfig``, ``SweepResult``, the
+``summary.yaml`` / ``best_config.yaml`` schema consumed by
+``launch.sh lr``), re-architected for TPU:
+
+The reference runs one *process per GPU*, each training the full model
+independently (`parallel_sweep.py:371-420,689-690`). Here the whole grid
+trains in ONE launch: per-replica parameters/optimizer states are stacked
+on a leading replica axis, the train/eval steps are ``jax.vmap``-ed over
+it, and the replica axis is sharded over the mesh ``data`` axis — one
+hyperparameter combo per TPU core (the north-star contract), with the
+batch broadcast to every replica.
+
+Scheduler handling: the per-replica learning rate is a host-computed
+vector ``base_lr_r * sched_scale_r(epoch) * plateau_scale_r`` refreshed
+each epoch (cosine closed-form; plateau via R independent host
+controllers), injected into the vmapped optimizer — schedules that differ
+*structurally* across replicas never enter the compiled graph, so one
+compile covers the whole grid.
+
+Semantics preserved per trial: seed = ``seed + idx`` for init/noise
+streams; per-trial failures (non-finite metrics) surface as
+``status='error'`` without aborting the sweep; best = final-epoch metric
+(the reference reads ``trainer.callback_metrics`` after fit, i.e. the last
+epoch). Shared across replicas (documented delta): the data order — one
+shuffle stream feeds all replicas instead of per-trial shuffles.
+"""
+
+from __future__ import annotations
+
+import argparse
+import copy
+import dataclasses
+import math
+import os
+import sys
+import time
+from datetime import datetime
+from typing import Any, Dict, List, Optional
+
+import numpy as np
+import yaml
+
+__all__ = ["SweepConfig", "SweepResult", "ParallelSweepRunner"]
+
+DEFAULT_LRS = [1e-5, 5e-5, 1e-4, 5e-4, 1e-3, 5e-3, 1e-2]
+
+
+@dataclasses.dataclass
+class SweepConfig:
+    idx: int
+    lr: float
+    scheduler: Optional[str] = None
+    factor: Optional[float] = None
+    patience: Optional[int] = None
+    T_max: Optional[int] = None
+    eta_min: Optional[float] = None
+
+    def to_dict(self) -> Dict[str, Any]:
+        return {k: v for k, v in dataclasses.asdict(self).items() if v is not None}
+
+    def to_opt_config(self) -> Dict[str, Any]:
+        opt: Dict[str, Any] = {"lr": self.lr}
+        if self.scheduler and self.scheduler != "none":
+            opt["lr_sch"] = self.scheduler
+            if self.scheduler == "plateau":
+                if self.factor is not None:
+                    opt["factor"] = self.factor
+                if self.patience is not None:
+                    opt["patience"] = self.patience
+            elif self.scheduler == "cosine":
+                if self.T_max is not None:
+                    opt["T_max"] = self.T_max
+                if self.eta_min is not None:
+                    opt["eta_min"] = self.eta_min
+        return opt
+
+
+@dataclasses.dataclass
+class SweepResult:
+    config: SweepConfig
+    metric: Optional[float]
+    duration_sec: float
+    status: str = "ok"
+    message: Optional[str] = None
+
+    def to_dict(self) -> Dict[str, Any]:
+        return {
+            "config": self.config.to_dict(),
+            "metric": self.metric,
+            "duration_sec": self.duration_sec,
+            "status": self.status,
+            "message": self.message,
+        }
+
+
+def _cosine_scale(epoch: int, t_max: int, eta_ratio: float) -> float:
+    t = min(epoch, t_max)
+    return eta_ratio + (1.0 - eta_ratio) * 0.5 * (1 + math.cos(math.pi * t / t_max))
+
+
+class _VmapSweepEngine:
+    """Train every SweepConfig simultaneously as vmapped replicas."""
+
+    def __init__(self, base_config: dict, configs: List[SweepConfig],
+                 metric_name: str, metric_goal: str, seed: int):
+        self.base_config = base_config
+        self.configs = configs
+        self.metric_name = metric_name
+        self.metric_goal = metric_goal
+        self.seed = seed
+
+    def run(self) -> List[SweepResult]:
+        import jax
+        import jax.numpy as jnp
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from vit_tpu.data.datasets import SpecDataModule
+        from vit_tpu.data.pipeline import Batcher, prefetch_to_device
+        from vit_tpu.models.builder import get_model
+        from vit_tpu.models.vit import compute_loss
+        from vit_tpu.parallel.mesh import make_mesh
+        from vit_tpu.train.loop import TrainState
+        from vit_tpu.train.metrics import regression_metrics, classification_metrics
+        from vit_tpu.train.optim import (
+            OptSpec,
+            PlateauScheduler,
+            build_optimizer,
+            set_learning_rate,
+        )
+        from vit_tpu.utils import seed_everything
+
+        t_start = time.perf_counter()
+        cfg = copy.deepcopy(self.base_config)
+        cfg.setdefault("train", {}).setdefault("save", False)
+        cfg.setdefault("project", "vit-opt-sweep")
+        (cfg.setdefault("viz", {}))["enable"] = False  # reference `:150-152`
+        seed_everything(self.seed)
+
+        bundle = get_model(cfg)
+        task = bundle.vit_config.task_type
+        dm = SpecDataModule.from_config(cfg)
+        dm.setup("fit")
+        if dm.val is None or len(dm.val) == 0:
+            raise RuntimeError("LR sweep requires a validation set (data.val_path)")
+
+        R = len(self.configs)
+        train_cfg = cfg.get("train", {}) or {}
+        batch_size = int(train_cfg.get("batch_size", 64))
+        max_epochs = int(train_cfg.get("ep", 10))
+        noise_level = float((cfg.get("noise", {}) or {}).get("noise_level", 0) or 0)
+        steps_per_epoch = max(1, -(-len(dm.train) // batch_size))
+
+        # Mesh: replica axis over every device when divisible, else 1 device.
+        n_dev = len(jax.devices())
+        dp = n_dev if R % n_dev == 0 else math.gcd(R, n_dev)
+        mesh = make_mesh(num_devices=max(1, dp))
+        rep_shard = NamedSharding(mesh, P("data"))  # replica axis sharded
+        repl = NamedSharding(mesh, P())
+
+        # Per-replica init (seed + idx parity with `parallel_sweep.py:155`).
+        module = bundle.module
+        in_dim = dm.train.flux.shape[1]
+        dummy = jnp.zeros((1, in_dim), jnp.float32)
+        init_keys = jnp.stack(
+            [jax.random.PRNGKey(self.seed + c.idx) for c in self.configs]
+        )
+        params_r = jax.jit(
+            jax.vmap(lambda k: module.init(k, dummy)["params"]),
+            out_shardings=rep_shard,
+        )(init_keys)
+
+        spec = OptSpec(
+            lr=1.0,  # per-replica LR injected at runtime
+            opt_type=str((cfg.get("opt", {}) or {}).get("type", "adam")).lower(),
+            weight_decay=float((cfg.get("opt", {}) or {}).get("weight_decay", 0.0) or 0.0),
+            grad_clip=float(train_cfg.get("grad_clip", 0.5)),
+            steps_per_epoch=steps_per_epoch,
+            total_epochs=max_epochs,
+        )
+        tx = build_optimizer(spec)
+        opt_state_r = jax.jit(jax.vmap(tx.init), out_shardings=rep_shard)(params_r)
+
+        state = TrainState(
+            step=jnp.zeros((R,), jnp.int32),
+            params=params_r,
+            opt_state=opt_state_r,
+            rng=jnp.stack([jax.random.PRNGKey(10_000 + self.seed + c.idx) for c in self.configs]),
+            plateau_scale=jnp.ones((R,), jnp.float32),
+            frozen=jnp.zeros((R,), jnp.float32),
+        )
+        state = jax.device_put(state, rep_shard)
+        loss_name = bundle.loss_name
+
+        def one_step(state: TrainState, batch, lr):
+            rng, noise_rng, dropout_rng = jax.random.split(state.rng, 3)
+            x = batch["x"]
+            if noise_level > 0:
+                x = x + jax.random.normal(noise_rng, x.shape, x.dtype) * batch["error"] * noise_level
+
+            def loss_fn(p):
+                logits = module.apply(
+                    {"params": p}, x, deterministic=False, rngs={"dropout": dropout_rng}
+                )
+                return compute_loss(logits, batch["label"], task, loss_name)
+
+            loss, grads = jax.value_and_grad(loss_fn)(state.params)
+            opt_state = set_learning_rate(state.opt_state, lr)
+            updates, opt_state = tx.update(grads, opt_state, state.params)
+            params = jax.tree_util.tree_map(lambda p, u: p + u.astype(p.dtype), state.params, updates)
+            return (
+                state.replace(step=state.step + 1, params=params, opt_state=opt_state, rng=rng),
+                loss,
+            )
+
+        vstep = jax.jit(
+            jax.vmap(one_step, in_axes=(0, None, 0)),
+            donate_argnums=(0,),
+            in_shardings=(rep_shard, repl, rep_shard),
+            out_shardings=(rep_shard, rep_shard),
+        )
+        veval = jax.jit(
+            jax.vmap(
+                lambda p, b: module.apply({"params": p}, b["x"], deterministic=True),
+                in_axes=(0, None),
+            ),
+            in_shardings=(rep_shard, repl),
+            out_shardings=repl,
+        )
+
+        # Host-side per-replica schedule state.
+        base_lrs = np.asarray([c.lr for c in self.configs], np.float32)
+        mode = "min" if self.metric_goal == "minimize" else "max"
+        plateaus = {
+            i: PlateauScheduler(c.factor or 0.1, c.patience or 10, mode=mode)
+            for i, c in enumerate(self.configs)
+            if c.scheduler == "plateau"
+        }
+
+        def epoch_lrs(epoch: int) -> np.ndarray:
+            scales = np.ones(R, np.float32)
+            for i, c in enumerate(self.configs):
+                if c.scheduler == "cosine":
+                    t_max = int(c.T_max or max_epochs)
+                    eta_ratio = (c.eta_min or 0.0) / c.lr if c.lr else 0.0
+                    scales[i] = _cosine_scale(epoch, t_max, eta_ratio)
+                elif c.scheduler == "plateau":
+                    scales[i] = plateaus[i].scale
+            return base_lrs * scales
+
+        metric_key = self.metric_name.replace("val_", "")
+        batcher = Batcher(dm.train.arrays(), batch_size, shuffle=True, seed=self.seed)
+        val_arrays = dm.val.arrays()
+        n_shards = 1  # eval batches replicated across devices
+        vbs = min(batch_size, len(dm.val))
+        last_metrics = np.full(R, np.nan, np.float64)
+
+        for epoch in range(max_epochs):
+            batcher.set_epoch(epoch)
+            lrs = jax.device_put(jnp.asarray(epoch_lrs(epoch)), rep_shard)
+            for batch in prefetch_to_device(iter(batcher), sharding=repl):
+                state, loss = vstep(state, batch, lrs)
+            # per-replica validation
+            vb = Batcher(val_arrays, vbs, eval_mode=True)
+            logits_all, labels_all = [], []
+            for batch in prefetch_to_device(iter(vb), sharding=repl):
+                logits = veval(state.params, batch)  # (R, B, K)
+                m = np.asarray(jax.device_get(batch["mask"]))
+                logits_all.append(np.asarray(jax.device_get(logits))[:, m])
+                labels_all.append(np.asarray(jax.device_get(batch["label"]))[m])
+            logits_cat = np.concatenate(logits_all, axis=1)  # (R, N, K)
+            labels_cat = np.concatenate(labels_all, axis=0)  # (N, K)
+            for i in range(R):
+                if task == "cls":
+                    m = classification_metrics(logits_cat[i], labels_cat)
+                else:
+                    m = regression_metrics(logits_cat[i], labels_cat)
+                last_metrics[i] = m.get(metric_key, np.nan)
+                if i in plateaus:
+                    plateaus[i].step(float(last_metrics[i]))
+            best_i = int(np.nanargmin(last_metrics) if mode == "min" else np.nanargmax(last_metrics))
+            print(
+                f"[sweep] epoch {epoch}: {self.metric_name} "
+                f"min={np.nanmin(last_metrics):.5f} max={np.nanmax(last_metrics):.5f} "
+                f"best=replica {best_i} (lr={self.configs[best_i].lr:.1e})",
+                flush=True,
+            )
+
+        wall = time.perf_counter() - t_start
+        results = []
+        for i, c in enumerate(self.configs):
+            v = float(last_metrics[i])
+            ok = math.isfinite(v)
+            results.append(
+                SweepResult(
+                    config=c,
+                    metric=v if ok else None,
+                    duration_sec=wall,
+                    status="ok" if ok else "error",
+                    message=None if ok else "non-finite metric (diverged)",
+                )
+            )
+        return results
+
+
+class ParallelSweepRunner:
+    """Grid construction, execution, and summary/best-config artifacts."""
+
+    def __init__(
+        self,
+        base_config_path: str,
+        lr_values: Optional[List[float]] = None,
+        schedulers: Optional[List[str]] = None,
+        plateau_factors: Optional[List[float]] = None,
+        plateau_patience: Optional[List[int]] = None,
+        cosine_T_max: Optional[int] = None,
+        cosine_eta_min: Optional[float] = None,
+        metric_name: str = "val_mae",
+        metric_goal: str = "minimize",
+        results_dir: Optional[str] = None,
+        gpu_ids: Optional[List[int]] = None,
+        seed: int = 42,
+        skip_test: bool = True,
+    ) -> None:
+        from vit_tpu.config import load_config
+
+        self.base_config_path = base_config_path
+        self.base_config = load_config(base_config_path)
+        self.lr_values = [float(x) for x in (lr_values or DEFAULT_LRS)]
+        self.schedulers = list(schedulers or ["none"])
+        self.plateau_factors = [float(x) for x in (plateau_factors or [0.8])]
+        self.plateau_patience = [int(x) for x in (plateau_patience or [10])]
+        self.cosine_T_max = cosine_T_max or int(
+            (self.base_config.get("train", {}) or {}).get("ep", 10)
+        )
+        self.cosine_eta_min = cosine_eta_min if cosine_eta_min is not None else 1e-7
+        self.metric_name = metric_name
+        self.metric_goal = metric_goal
+        self.gpu_ids = gpu_ids or list(range(8))
+        self.seed = seed
+        self.skip_test = skip_test
+
+        results_root = results_dir or "./opt_runs"
+        stamp = datetime.now().strftime("%Y%m%d_%H%M%S")
+        self.run_dir = os.path.join(results_root, f"parallel_sweep_{stamp}")
+        self.summary_path = os.path.join(self.run_dir, "summary.yaml")
+        self.best_config_path = os.path.join(self.run_dir, "best_config.yaml")
+        self.sweep_configs = self._build_sweep_configs()
+
+    def _build_sweep_configs(self) -> List[SweepConfig]:
+        configs: List[SweepConfig] = []
+        idx = 0
+        for lr in self.lr_values:
+            for scheduler in self.schedulers:
+                if scheduler == "plateau":
+                    for factor in self.plateau_factors:
+                        for patience in self.plateau_patience:
+                            configs.append(SweepConfig(idx, lr, "plateau", factor, patience))
+                            idx += 1
+                elif scheduler == "cosine":
+                    configs.append(
+                        SweepConfig(idx, lr, "cosine",
+                                    T_max=self.cosine_T_max, eta_min=self.cosine_eta_min)
+                    )
+                    idx += 1
+                else:
+                    configs.append(
+                        SweepConfig(idx, lr, scheduler if scheduler != "none" else None)
+                    )
+                    idx += 1
+        return configs
+
+    def run(self, dry_run: bool = False) -> Optional[SweepResult]:
+        print("=" * 62)
+        print(f"Parallel LR sweep (vmapped TPU replicas): {len(self.sweep_configs)} configs")
+        print(f"  base config : {self.base_config_path}")
+        print(f"  metric      : {self.metric_name} ({self.metric_goal})")
+        print(f"  lr values   : {self.lr_values}")
+        print(f"  schedulers  : {self.schedulers}")
+        print("=" * 62)
+        if dry_run:
+            print("\n[Dry run] Would execute the following configurations:")
+            for cfg in self.sweep_configs[:10]:
+                print(f"  {cfg.to_dict()}")
+            if len(self.sweep_configs) > 10:
+                print(f"  ... and {len(self.sweep_configs) - 10} more")
+            return None
+
+        os.makedirs(self.run_dir, exist_ok=True)
+        engine = _VmapSweepEngine(
+            self.base_config, self.sweep_configs, self.metric_name,
+            self.metric_goal, self.seed,
+        )
+        results = engine.run()
+        for i, r in enumerate(results):
+            self._print_progress(r, i + 1, len(results))
+        best = self._select_best(results)
+        self._write_summary(results, best)
+        self._write_best_config(best)
+        self._print_footer(best)
+        return best
+
+    def _print_progress(self, result: SweepResult, completed: int, total: int) -> None:
+        cfg_str = f"lr={result.config.lr:.1e}"
+        if result.config.scheduler:
+            cfg_str += f" sch={result.config.scheduler}"
+            if result.config.scheduler == "plateau":
+                cfg_str += f" f={result.config.factor} p={result.config.patience}"
+        metric_str = f"{result.metric:.6f}" if result.metric is not None else "N/A"
+        icon = "ok" if result.status == "ok" else "XX"
+        print(f"[{completed:3d}/{total:3d}] {icon} {cfg_str:40s} | "
+              f"{self.metric_name}={metric_str:10s} | {result.duration_sec:5.1f}s")
+        if result.message:
+            print(f"    -> {result.message}")
+
+    def _print_footer(self, best: SweepResult) -> None:
+        print("\n" + "=" * 62)
+        print("Sweep finished!")
+        print("\nBest configuration:")
+        print(f"  LR          : {best.config.lr:.6f}")
+        if best.config.scheduler:
+            print(f"  Scheduler   : {best.config.scheduler}")
+            if best.config.scheduler == "plateau":
+                print(f"  Factor      : {best.config.factor}")
+                print(f"  Patience    : {best.config.patience}")
+            elif best.config.scheduler == "cosine":
+                print(f"  T_max       : {best.config.T_max}")
+                print(f"  eta_min     : {best.config.eta_min}")
+        print(f"  {self.metric_name:11s}: {best.metric:.6f}")
+        print(f"\nSummary  : {self.summary_path}")
+        print(f"Best cfg : {self.best_config_path}")
+        print("=" * 62)
+
+    def _select_best(self, results: List[SweepResult]) -> SweepResult:
+        valid = [
+            r for r in results
+            if r.status == "ok" and r.metric is not None and math.isfinite(r.metric)
+        ]
+        if not valid:
+            raise RuntimeError("All trials failed. Check logs above for details.")
+        reverse = self.metric_goal == "maximize"
+        return sorted(valid, key=lambda r: r.metric, reverse=reverse)[0]
+
+    def _write_summary(self, results: List[SweepResult], best: SweepResult) -> None:
+        data = {
+            "generated_at": datetime.now().isoformat(),
+            "base_config": str(self.base_config_path),
+            "metric": {"name": self.metric_name, "goal": self.metric_goal},
+            "search_space": {
+                "lr_values": self.lr_values,
+                "schedulers": self.schedulers,
+                "plateau_factors": self.plateau_factors,
+                "plateau_patience": self.plateau_patience,
+                "cosine_T_max": self.cosine_T_max,
+                "cosine_eta_min": self.cosine_eta_min,
+            },
+            "gpus": self.gpu_ids,
+            "num_configs": len(self.sweep_configs),
+            "results": [r.to_dict() for r in results],
+            "best": best.to_dict(),
+        }
+        with open(self.summary_path, "w", encoding="utf-8") as f:
+            yaml.safe_dump(data, f, sort_keys=False, allow_unicode=True)
+
+    def _write_best_config(self, best: SweepResult) -> None:
+        best_config = copy.deepcopy(self.base_config)
+        best_config.setdefault("opt", {})
+        best_config["opt"].update(best.config.to_opt_config())
+        best_config.setdefault("_meta", {})
+        best_config["_meta"].update({
+            "generator": "vit_tpu.opt.parallel_sweep",
+            "metric": self.metric_name,
+            "goal": self.metric_goal,
+            "best_metric": best.metric,
+            "search_dir": str(self.run_dir),
+            "timestamp": datetime.now().isoformat(),
+        })
+        with open(self.best_config_path, "w", encoding="utf-8") as f:
+            yaml.safe_dump(best_config, f, sort_keys=False, allow_unicode=True)
+
+
+def _parse_args() -> argparse.Namespace:
+    parser = argparse.ArgumentParser(description="Parallel LR sweep (vmapped TPU replicas)")
+    parser.add_argument("base_config", help="Path to the base YAML config")
+    parser.add_argument("--lr", nargs="+", type=float,
+                        help="Learning rate values (default: 1e-5 ... 1e-2)")
+    parser.add_argument("--schedulers", nargs="+", choices=["plateau", "cosine", "none"],
+                        help="Scheduler types to search (default: none)")
+    parser.add_argument("--plateau-factor", nargs="+", type=float,
+                        help="Plateau reduction factors (default: 0.8)")
+    parser.add_argument("--plateau-patience", nargs="+", type=int,
+                        help="Plateau patience values (default: 10)")
+    parser.add_argument("--cosine-T-max", type=int, help="Cosine T_max (default: train.ep)")
+    parser.add_argument("--cosine-eta-min", type=float, help="Cosine eta_min (default: 1e-7)")
+    parser.add_argument("--metric", default="val_mae", help="Monitored metric name")
+    parser.add_argument("--goal", choices=("minimize", "maximize"), default="minimize")
+    parser.add_argument("--gpus", help="Comma-separated replica ids (count is informational on TPU)")
+    parser.add_argument("--results-dir", help="Directory for sweep results (default: ./opt_runs)")
+    parser.add_argument("--seed", type=int, default=42, help="Base random seed")
+    parser.add_argument("--run-test", action="store_true",
+                        help="Also execute the test loop after each fit")
+    parser.add_argument("--dry-run", action="store_true",
+                        help="Only print the sweep plan without training")
+    return parser.parse_args()
+
+
+def main() -> int:
+    args = _parse_args()
+    gpu_ids = (
+        [int(g.strip()) for g in args.gpus.split(",")] if args.gpus else list(range(8))
+    )
+    runner = ParallelSweepRunner(
+        base_config_path=args.base_config,
+        lr_values=args.lr,
+        schedulers=args.schedulers,
+        plateau_factors=args.plateau_factor,
+        plateau_patience=args.plateau_patience,
+        cosine_T_max=args.cosine_T_max,
+        cosine_eta_min=args.cosine_eta_min,
+        metric_name=args.metric,
+        metric_goal=args.goal,
+        results_dir=args.results_dir,
+        gpu_ids=gpu_ids,
+        seed=args.seed,
+        skip_test=not args.run_test,
+    )
+    runner.run(dry_run=args.dry_run)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -228,6 +228,7 @@ class Experiment:
         )
         self.state: Optional[TrainState] = None
         self._eval_step = None
+        self._capture_step = None
         self.callback_metrics: Dict[str, float] = {}
 
     # -- construction helpers -------------------------------------------
@@ -292,6 +293,39 @@ class Experiment:
             logits_all.append(np.asarray(jax.device_get(logits))[mask])
             labels_all.append(np.asarray(jax.device_get(batch["label"]))[mask])
         return np.concatenate(logits_all), np.concatenate(labels_all)
+
+    def _run_capture_eval(self, dataset, num_samples: int):
+        """Eval with diagnostics captured (attention probs, activations,
+        CLS states) via the intermediates collection — the jit-safe
+        replacement for the reference's forward hooks."""
+        import numpy as _np
+
+        if self._capture_step is None:
+            module = self.bundle.module
+
+            def capture_step(params, batch):
+                return module.apply(
+                    {"params": params},
+                    batch["x"],
+                    deterministic=True,
+                    capture=True,
+                    mutable=["intermediates"],
+                )
+
+            self._capture_step = jax.jit(capture_step)
+        n = min(num_samples, len(dataset))
+        arrays = {k: v[:n] for k, v in dataset.arrays().items()}
+        batch = jax.device_put(arrays, self.batch_shard if n % self.mesh.shape.get("data", 1) == 0 else self.repl_shard)
+        logits, state = self._capture_step(self.state.params, batch)
+        from vit_tpu.viz.diagnostics import extract_diagnostics
+
+        inter = jax.device_get(state["intermediates"])
+        diag = extract_diagnostics(inter, self.bundle.vit_config.num_hidden_layers)
+        return (
+            _np.asarray(jax.device_get(logits)),
+            _np.asarray(arrays.get("label")),
+            diag,
+        )
 
     def _eval_metrics(self, dataset, prefix: str, batch_size: int) -> Dict[str, float]:
         logits, labels = self._run_eval(dataset, batch_size)
@@ -361,6 +395,20 @@ class Experiment:
         monitor_key = f"val_{self.monitor}"
         epoch_metrics: Dict[str, float] = {}
 
+        # Training diagnostics (GIFs + CKA monitor), reference viz subsystem.
+        from vit_tpu.data.datasets import RegSpecDataset as _Reg
+        from vit_tpu.viz.callback_factory import create_viz_callbacks
+
+        denorm = train_ds.denormalize if isinstance(train_ds, _Reg) else None
+        viz, cka, viz_every = create_viz_callbacks(
+            self.config.get("viz"),
+            save_enabled=self.save,
+            model_name=self.bundle.model_name,
+            param_names=parse_param_list((self.config.get("data", {}) or {}).get("param")),
+            denormalize=denorm,
+        )
+        num_viz_samples = int((self.config.get("viz", {}) or {}).get("num_viz_samples", 256))
+
         for epoch in range(start_epoch, max_epochs):
             self.state = self.state.replace(frozen=self._scalar(self._frozen_flag(epoch)))
             batcher.set_epoch(epoch)
@@ -397,6 +445,16 @@ class Experiment:
                     self.state = self.state.replace(
                         plateau_scale=self._scalar(plateau.step(mon))
                     )
+                if viz is not None and epoch % viz_every == 0:
+                    try:
+                        v_logits, v_labels, diag = self._run_capture_eval(
+                            self.datamodule.val, num_viz_samples
+                        )
+                        viz.on_validation_epoch(epoch, v_logits, v_labels, diag)
+                        if cka is not None:
+                            epoch_metrics.update(cka.on_validation_epoch(epoch, diag))
+                    except Exception as e:  # diagnostics never fail training
+                        print(f"[viz] epoch diagnostics skipped: {e}")
                 self.ckpt.on_epoch_end(self.state, epoch, mon, config=self.config)
                 self.logger.log_epoch(epoch, epoch_metrics, step=int(self.state.step))
                 if early.step(mon):
@@ -405,6 +463,14 @@ class Experiment:
             else:
                 self.ckpt.on_epoch_end(self.state, epoch, None, config=self.config)
                 self.logger.log_epoch(epoch, epoch_metrics, step=int(self.state.step))
+
+        if viz is not None:
+            try:
+                viz.on_train_end(self.logger)
+                if cka is not None:
+                    cka.on_train_end(viz.save_dir, self.logger)
+            except Exception as e:
+                print(f"[viz] train-end artifacts skipped: {e}")
 
         self.callback_metrics = dict(epoch_metrics)
         return epoch_metrics

@@ -1,0 +1,38 @@
+"""Viz monitor construction from the ``viz`` config section.
+
+Parity with `/root/reference/src/viz/callback_factory.py:7-84`
+(``create_viz_callbacks``): builds the GIF diagnostics (+ CKA monitor when
+``viz.compute_cka``, default True) honoring epoch/step logging frequency;
+local artifact writing follows ``train.save``.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Tuple
+
+from vit_tpu.viz.diagnostics import CKAMonitor, VizDiagnostics
+
+__all__ = ["create_viz_callbacks"]
+
+
+def create_viz_callbacks(
+    viz_cfg: Optional[dict],
+    save_enabled: bool = True,
+    model_name: str = "model",
+    param_names: Optional[list] = None,
+    denormalize=None,
+) -> Tuple[Optional[VizDiagnostics], Optional[CKAMonitor], int]:
+    """Returns (viz, cka, log_every_n_epochs); (None, None, 0) when disabled."""
+    viz_cfg = viz_cfg or {}
+    if not viz_cfg.get("enable", False):
+        return None, None, 0
+    every = int(viz_cfg.get("log_every_n_epochs", 1) or 1)
+    viz = VizDiagnostics(
+        viz_cfg,
+        model_name=model_name,
+        param_names=param_names,
+        denormalize=denormalize,
+        save_enabled=True,  # GIFs always written to viz.save_dir (cheap, local)
+    )
+    cka = CKAMonitor() if viz_cfg.get("compute_cka", True) else None
+    return viz, cka, every

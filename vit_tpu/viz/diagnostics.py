@@ -1,0 +1,246 @@
+"""Per-epoch training diagnostics (GIFs) and the CKA layer-learning monitor.
+
+TPU-native redesign of the reference's ``VizCallback`` + ``CKACallback``
+(`/root/reference/src/viz/viz_callback.py:23-717`,
+`/root/reference/src/viz/cka_callback.py:15-226`). The reference
+monkey-patches HF attention and registers forward hooks to harvest
+intermediates — neither exists under jit, so here the eval step itself
+returns diagnostics through Flax's ``intermediates`` collection
+(``capture=True`` in :class:`vit_tpu.models.vit.SpecViT`): attention
+probabilities, MLP activations, per-layer CLS hidden states, and the final
+CLS embedding are first-class outputs. The Experiment feeds them to these
+monitors each logging epoch; GIFs/PNGs are written at train end.
+
+Behavioral parity: frame deques capped at 100 (`viz_callback.py:73-78`);
+activation subsampling via ``sample_rate``; per-epoch diagonal CKA against
+the *initial* representations with the >= 0.95 "layer not learning" flag
+(`cka_callback.py:119-158`); outputs under ``viz.save_dir`` and logged to
+W&B when a live run exists.
+"""
+
+from __future__ import annotations
+
+import os
+from collections import deque
+from typing import Dict, List, Optional
+
+import numpy as np
+
+from vit_tpu.prepca.pipeline import compute_cka
+from vit_tpu.viz import gif_maker
+
+__all__ = ["VizDiagnostics", "CKAMonitor", "extract_diagnostics"]
+
+MAX_FRAMES = 100
+
+
+def extract_diagnostics(intermediates: dict, num_layers: int) -> Dict[str, object]:
+    """Flatten the sown intermediates into plain numpy arrays.
+
+    Returns ``{attn: [per-layer (H, T, T) batch-mean], mlp: {layer: arr},
+    cls_hidden: {layer: (B, D)}, cls_embedding: (B, D)}``.
+    """
+    enc = intermediates.get("encoder", {})
+    out: Dict[str, object] = {"attn": [], "mlp": {}, "cls_hidden": {}}
+    for i in range(num_layers):
+        layer = enc.get(f"layer_{i}", {})
+        probs = layer.get("attention", {}).get("attention_probs")
+        if probs:
+            out["attn"].append(np.asarray(probs[0]).mean(axis=0))  # (H, T, T)
+        act = layer.get("mlp_activation")
+        if act:
+            out["mlp"][f"layer_{i}"] = np.asarray(act[0])
+        cls_h = enc.get(f"cls_hidden_{i}")
+        if cls_h:
+            out["cls_hidden"][f"layer_{i}"] = np.asarray(cls_h[0])
+    emb = intermediates.get("cls_embedding")
+    out["cls_embedding"] = np.asarray(emb[0]) if emb else None
+    return out
+
+
+class VizDiagnostics:
+    """Builds per-epoch GIF frames from captured eval diagnostics."""
+
+    def __init__(
+        self,
+        viz_cfg: dict,
+        model_name: str = "model",
+        param_names: Optional[List[str]] = None,
+        denormalize=None,
+        save_enabled: bool = True,
+    ) -> None:
+        self.cfg = viz_cfg or {}
+        self.model_name = model_name
+        self.param_names = param_names or []
+        self.denormalize = denormalize or (lambda y: y)
+        self.save_enabled = save_enabled
+        self.save_dir = os.path.join(
+            self.cfg.get("save_dir", "./results/viz"), model_name
+        )
+        self.sample_rate = float(self.cfg.get("sample_rate", 0.15))
+        self.gif_duration = int(self.cfg.get("gif_duration", 500))
+        self.embedding_method = self.cfg.get("embedding_method", "umap")
+
+        self.frames: Dict[str, deque] = {
+            k: deque(maxlen=MAX_FRAMES)
+            for k in ("distribution", "activation", "attention", "attention_analytics",
+                      "embedding", "collinearity")
+        }
+        self.entropy_history: List[float] = []
+
+    def _want(self, key: str) -> bool:
+        return bool(self.cfg.get(f"create_{key}_gif", True))
+
+    def _subsample(self, arr: np.ndarray) -> np.ndarray:
+        flat = arr.reshape(-1)
+        n = max(1, int(len(flat) * self.sample_rate))
+        if n >= len(flat):
+            return flat
+        idx = np.random.default_rng(0).choice(len(flat), n, replace=False)
+        return flat[idx]
+
+    def on_validation_epoch(
+        self,
+        epoch: int,
+        preds: np.ndarray,
+        labels: np.ndarray,
+        diag: Dict[str, object],
+    ) -> None:
+        names = self.param_names or [str(j) for j in range(np.reshape(preds, (len(preds), -1)).shape[1])]
+        if self._want("distribution"):
+            self.frames["distribution"].append(
+                gif_maker.distribution_frame(
+                    self.denormalize(preds), self.denormalize(labels), names, epoch, self.model_name
+                )
+            )
+        mlp = diag.get("mlp") or {}
+        if self._want("activation") and mlp:
+            sampled = {k: self._subsample(v) for k, v in mlp.items()}
+            # keep 2-D shape info for dead-neuron stats on the full arrays
+            full = {k: v.reshape(-1, v.shape[-1]) for k, v in mlp.items()}
+            self.frames["activation"].append(
+                gif_maker.activation_frame(full, epoch, self.model_name)
+            )
+            del sampled
+        attn = diag.get("attn") or []
+        if self._want("attention") and attn:
+            ent = float(
+                np.mean([-(p * np.log(p + 1e-12)).sum(-1).mean() for p in attn])
+            )
+            self.entropy_history.append(ent)
+            self.frames["attention"].append(
+                gif_maker.attention_heatmap_frame(attn, epoch, self.model_name)
+            )
+            self.frames["attention_analytics"].append(
+                gif_maker.attention_analytics_frame(
+                    attn, self.entropy_history, epoch, self.model_name
+                )
+            )
+        emb = diag.get("cls_embedding")
+        if emb is not None:
+            if self.cfg.get("create_embedding_gif", True):
+                self.frames["embedding"].append(
+                    gif_maker.embedding_frame(
+                        emb, labels, epoch, self.embedding_method, self.model_name
+                    )
+                )
+            if self._want("collinearity"):
+                self.frames["collinearity"].append(
+                    gif_maker.collinearity_frame(emb, epoch, self.model_name)
+                )
+
+    def on_train_end(self, logger=None) -> Dict[str, str]:
+        """Write GIFs (+ final-frame PNGs); log to W&B when available."""
+        written: Dict[str, str] = {}
+        if not self.save_enabled:
+            return written
+        os.makedirs(self.save_dir, exist_ok=True)
+        wandb_run = getattr(logger, "_wandb", None) if logger is not None else None
+        for key, frames in self.frames.items():
+            if not frames:
+                continue
+            path = os.path.join(self.save_dir, f"{key}.gif")
+            gif_maker.save_gif(list(frames), path, duration=self.gif_duration)
+            frames[-1].save(os.path.join(self.save_dir, f"{key}_final.png"))
+            written[key] = path
+            if wandb_run is not None:
+                try:
+                    import wandb
+
+                    wandb_run.log({f"viz/{key}": wandb.Video(path)})
+                except Exception as e:
+                    print(f"[viz] wandb video upload skipped: {e}")
+        if written:
+            print(f"[viz] wrote {len(written)} GIFs to {self.save_dir}")
+        return written
+
+
+class CKAMonitor:
+    """Diagonal CKA(initial, current) per layer: flags layers not learning."""
+
+    def __init__(self, threshold: float = 0.95, max_samples: int = 500) -> None:
+        self.threshold = threshold
+        self.max_samples = max_samples
+        self.initial: Optional[Dict[str, np.ndarray]] = None
+        self.history: Dict[str, List[float]] = {}
+
+    def _reps(self, diag: Dict[str, object]) -> Dict[str, np.ndarray]:
+        reps = dict(diag.get("cls_hidden") or {})
+        emb = diag.get("cls_embedding")
+        if emb is not None:
+            reps["cls_embedding"] = emb
+        return {k: np.asarray(v)[: self.max_samples] for k, v in reps.items()}
+
+    def on_validation_epoch(self, epoch: int, diag: Dict[str, object]) -> Dict[str, float]:
+        reps = self._reps(diag)
+        if not reps:
+            return {}
+        if self.initial is None:
+            self.initial = reps
+            return {}
+        out: Dict[str, float] = {}
+        unchanged = 0
+        for name, cur in reps.items():
+            init = self.initial.get(name)
+            if init is None or init.shape != cur.shape:
+                continue
+            v = float(compute_cka(init, cur, debiased=False))
+            out[f"cka/{name}"] = v
+            self.history.setdefault(name, []).append(v)
+            if v >= self.threshold:
+                unchanged += 1
+        if out:
+            vals = [v for k, v in out.items()]
+            out["cka/mean"] = float(np.mean(vals))
+            out["cka/unchanged_count"] = float(unchanged)
+        return out
+
+    def on_train_end(self, save_dir: Optional[str] = None, logger=None) -> None:
+        if not self.history:
+            return
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        fig, axes = plt.subplots(1, 2, figsize=(11, 4))
+        for name, vals in self.history.items():
+            axes[0].plot(vals, label=name, lw=1)
+        axes[0].axhline(self.threshold, color="r", ls="--", lw=1)
+        axes[0].set_title("CKA(initial, current) evolution")
+        axes[0].set_xlabel("logged epoch")
+        axes[0].legend(fontsize=7)
+        finals = {k: v[-1] for k, v in self.history.items()}
+        axes[1].barh(list(finals.keys()), list(finals.values()))
+        axes[1].axvline(self.threshold, color="r", ls="--", lw=1)
+        axes[1].set_title("final CKA per layer (>=0.95 ~ not learning)")
+        fig.tight_layout()
+        if save_dir:
+            os.makedirs(save_dir, exist_ok=True)
+            fig.savefig(os.path.join(save_dir, "cka_report.png"), dpi=110)
+        wandb_run = getattr(logger, "_wandb", None) if logger is not None else None
+        if wandb_run is not None:
+            import wandb
+
+            wandb_run.log({"viz/cka_report": wandb.Image(fig)})
+        plt.close(fig)
