@@ -106,7 +106,7 @@ def make_train_step(
     def train_step(state: TrainState, batch: Dict[str, jnp.ndarray]):
         rng, noise_rng, dropout_rng = jax.random.split(state.rng, 3)
         x = batch["x"]
-        if noise_level > 0:
+        if noise_level > 0 and "error" in batch:
             x = x + jax.random.normal(noise_rng, x.shape, x.dtype) * batch["error"] * noise_level
 
         def loss_fn(params):
@@ -192,7 +192,12 @@ class Experiment:
         seed_everything(seed)
 
         self.bundle = get_model(config)
-        self.datamodule = SpecDataModule.from_config(config)
+        if self.bundle.vit_config.input_kind == "image":
+            from vit_tpu.data.images import ImageDataModule
+
+            self.datamodule = ImageDataModule.from_config(config)
+        else:
+            self.datamodule = SpecDataModule.from_config(config)
         train_cfg = config.get("train", {}) or {}
         self.max_epochs = int(train_cfg.get("ep", 10))
         self.debug = bool(train_cfg.get("debug", 0))
@@ -239,11 +244,8 @@ class Experiment:
         if cfg.input_kind == "image":
             dummy = jnp.zeros((1, cfg.image_size, cfg.image_size, cfg.num_channels), jnp.float32)
         else:
-            in_dim = (
-                self.datamodule.train.flux.shape[1]
-                if self.datamodule.train is not None and self.datamodule.train.flux is not None
-                else cfg.image_size
-            )
+            flux = getattr(self.datamodule.train, "flux", None)
+            in_dim = flux.shape[1] if flux is not None else cfg.image_size
             dummy = jnp.zeros((1, in_dim), jnp.float32)
         variables = self.bundle.module.init(init_rng, dummy)
         params = variables["params"]
