@@ -39,9 +39,10 @@ def select_attn_impl(impl: str, seq_len: int, head_dim: int) -> str:
     if impl != "auto":
         return impl
     on_tpu = jax.default_backend() == "tpu"
-    # Flash pays off once the T×T probs matrix stops fitting nicely in VMEM
-    # alongside everything else; tiny baseline shapes stay on the XLA path.
-    if on_tpu and seq_len >= 1024:
+    # Measured crossover on v5e: XLA's fused attention wins below ~2k tokens;
+    # the Pallas kernel wins at the stride-1 sweep scale (~4k). Tiny baseline
+    # shapes always take the XLA path.
+    if on_tpu and seq_len >= 2048:
         return "flash"
     return "xla"
 

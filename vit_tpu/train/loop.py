@@ -28,6 +28,7 @@ reference's ``'ddp'`` with zero hand-written communication.
 from __future__ import annotations
 
 import math
+import os
 import time
 from typing import Any, Callable, Dict, Optional, Tuple
 
@@ -204,6 +205,16 @@ class Experiment:
         self.save = bool(train_cfg.get("save", False))
         self.batch_size = int(train_cfg.get("batch_size", 64))
         self.noise_level = float((config.get("noise", {}) or {}).get("noise_level", 0) or 0)
+        # Profiling (SURVEY §5: expose jax.profiler behind a config flag).
+        profile = train_cfg.get("profile")
+        self.profile_dir: Optional[str] = None
+        if profile:
+            self.profile_dir = (
+                profile if isinstance(profile, str) else "./results/profile"
+            )
+        from vit_tpu.hardware import get_prefetch_depth
+
+        self.prefetch_depth = get_prefetch_depth(config)
         if num_devices is None:
             num_devices = train_cfg.get("gpus")  # CLI-injected device count
         self.mesh = make_mesh(num_devices=num_devices)
@@ -414,17 +425,28 @@ class Experiment:
         for epoch in range(start_epoch, max_epochs):
             self.state = self.state.replace(frozen=self._scalar(self._frozen_flag(epoch)))
             batcher.set_epoch(epoch)
+            # Profile epoch 1 (post-compile steady state) when requested.
+            profiling = self.profile_dir is not None and epoch == start_epoch + 1
+            if profiling:
+                os.makedirs(self.profile_dir, exist_ok=True)
+                jax.profiler.start_trace(self.profile_dir)
             t0 = time.perf_counter()
             losses = []
             last_lr = spec.lr
             for i, batch in enumerate(
-                prefetch_to_device(iter(batcher), sharding=self.batch_shard)
+                prefetch_to_device(
+                    iter(batcher), size=self.prefetch_depth, sharding=self.batch_shard
+                )
             ):
                 self.state, m = train_step(self.state, batch)
                 losses.append(m["loss"])
                 last_lr = m["lr"]
                 if self.debug and i == 0:
                     break
+            if profiling:
+                jax.block_until_ready(losses[-1])
+                jax.profiler.stop_trace()
+                print(f"[experiment] profiler trace written to {self.profile_dir}")
             train_loss = float(np.mean(jax.device_get(losses)))
             dt = time.perf_counter() - t0
             n_steps = len(losses)
