@@ -1,0 +1,40 @@
+"""Fused-epoch (lax.scan) training path: exact equivalence with per-step."""
+
+import numpy as np
+import pytest
+
+from vit_tpu.train.loop import Experiment
+
+
+def _cfg(tiny_config, fused):
+    cfg = dict(tiny_config)
+    cfg["train"] = dict(tiny_config["train"], ep=2, batch_size=16, fused_epoch=fused)
+    cfg["opt"] = {"type": "AdamW", "lr": 3e-3, "lr_sch": "none"}
+    return cfg
+
+
+def test_fused_epoch_matches_per_step(tiny_config, tmp_path, monkeypatch):
+    """Same seed -> identical parameters after training, both paths."""
+    monkeypatch.setenv("CKPT_DIR", str(tmp_path / "ckpt"))
+    # per-step on 1-device mesh for apples-to-apples
+    exp_a = Experiment(_cfg(tiny_config, False), seed=0, num_devices=1)
+    m_a = exp_a.fit()
+    exp_b = Experiment(_cfg(tiny_config, True), seed=0, num_devices=1)
+    m_b = exp_b.fit()
+    assert m_b["train_loss"] == pytest.approx(m_a["train_loss"], rel=1e-6)
+    assert m_b["val_mae"] == pytest.approx(m_a["val_mae"], rel=1e-6)
+    ka = np.asarray(exp_a.state.params["regressor"]["kernel"])
+    kb = np.asarray(exp_b.state.params["regressor"]["kernel"])
+    np.testing.assert_allclose(ka, kb, rtol=1e-6, atol=1e-7)
+    assert int(exp_a.state.step) == int(exp_b.state.step)
+
+
+def test_fused_epoch_disabled_on_multi_device(tiny_config, tmp_path, monkeypatch):
+    """DP over >1 shard keeps the per-step sharded path (and still trains)."""
+    monkeypatch.setenv("CKPT_DIR", str(tmp_path / "ckpt"))
+    cfg = _cfg(tiny_config, "auto")
+    cfg["train"]["ep"] = 1
+    exp = Experiment(cfg, seed=0, num_devices=8)
+    assert exp.mesh.shape["data"] == 8
+    metrics = exp.fit()
+    assert np.isfinite(metrics["train_loss"])

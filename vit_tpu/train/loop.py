@@ -41,7 +41,12 @@ from vit_tpu.data.datasets import RegSpecDataset, SpecDataModule, parse_param_li
 from vit_tpu.data.pipeline import Batcher, prefetch_to_device
 from vit_tpu.models.builder import ModelBundle, get_model
 from vit_tpu.models.vit import compute_loss
-from vit_tpu.parallel.mesh import batch_sharding, make_mesh, replicated_sharding
+from vit_tpu.parallel.mesh import (
+    batch_sharding,
+    make_mesh,
+    maybe_initialize_distributed,
+    replicated_sharding,
+)
 from vit_tpu.train.checkpoint import CheckpointManager, default_ckpt_dir
 from vit_tpu.train.logging import MetricLogger
 from vit_tpu.train.metrics import (
@@ -142,6 +147,87 @@ def make_train_step(
     return jax.jit(train_step, donate_argnums=(0,), **kwargs)
 
 
+def make_train_epoch(
+    bundle: ModelBundle,
+    tx,
+    spec: OptSpec,
+    noise_level: float,
+    batch_size: int,
+    steps_per_epoch: int,
+    state_sharding=None,
+) -> Callable:
+    """Whole-epoch training as ONE dispatch: ``lax.scan`` over steps.
+
+    The tiny baseline model is dispatch-bound (~0.45 ms/step wall vs
+    ~0.15 ms compute); with the epoch's data resident in HBM and a
+    host-supplied shuffled index vector, scanning all steps in a single
+    compiled call removes the per-step host round-trip. Semantics match the
+    per-step path exactly (same RNG stream layout per step, same LR
+    schedule/plateau/freeze scalars).
+
+    Returns ``fn(state, data, perm) -> (state, losses (steps,), last_lr)``
+    where ``data`` is the column dict of full epoch arrays and ``perm`` is
+    an int32 index vector of length ``steps_per_epoch * batch_size``
+    (cycled-padded by the host like the Batcher).
+    """
+    module = bundle.module
+    schedule = schedule_scale(spec)
+    task = bundle.vit_config.task_type
+    loss_name = bundle.loss_name
+    has_preproc = bundle.has_preprocessor
+
+    def epoch_fn(state: TrainState, data: Dict[str, jnp.ndarray], perm: jnp.ndarray):
+        # ONE gather for the whole epoch (cheap, bandwidth-bound), then scan
+        # over the stacked (steps, batch, ...) leading axis — per-step
+        # dynamic gathers inside the scan body are ~4x slower on TPU.
+        epoch_data = {
+            k: jnp.take(v, perm, axis=0).reshape(
+                (steps_per_epoch, batch_size) + v.shape[1:]
+            )
+            for k, v in data.items()
+        }
+
+        def one_step(state, batch):
+            rng, noise_rng, dropout_rng = jax.random.split(state.rng, 3)
+            x = batch["x"]
+            if noise_level > 0 and "error" in batch:
+                x = x + jax.random.normal(noise_rng, x.shape, x.dtype) * batch["error"] * noise_level
+
+            def loss_fn(params):
+                logits = module.apply(
+                    {"params": params}, x, deterministic=False,
+                    rngs={"dropout": dropout_rng},
+                )
+                return compute_loss(logits, batch["label"], task, loss_name)
+
+            loss, grads = jax.value_and_grad(loss_fn)(state.params)
+            if has_preproc:
+                grads = _mask_preprocessor(grads, 1.0 - state.frozen)
+            lr = spec.lr * schedule(state.step) * state.plateau_scale
+            opt_state = set_learning_rate(state.opt_state, lr)
+            updates, opt_state = tx.update(grads, opt_state, state.params)
+            if has_preproc:
+                updates = _mask_preprocessor(updates, 1.0 - state.frozen)
+            params = jax.tree_util.tree_map(
+                lambda p, u: p + u.astype(p.dtype), state.params, updates
+            )
+            new_state = state.replace(
+                step=state.step + 1, params=params, opt_state=opt_state, rng=rng
+            )
+            return new_state, (loss, lr)
+
+        state, (losses, lrs) = jax.lax.scan(one_step, state, epoch_data)
+        return state, losses, lrs[-1]
+
+    kwargs = {}
+    if state_sharding is not None:
+        kwargs = dict(
+            in_shardings=(state_sharding, state_sharding, state_sharding),
+            out_shardings=(state_sharding, state_sharding, state_sharding),
+        )
+    return jax.jit(epoch_fn, donate_argnums=(0,), **kwargs)
+
+
 def make_eval_step(
     bundle: ModelBundle, state_sharding=None, batch_sharding_=None
 ) -> Callable:
@@ -191,6 +277,13 @@ class Experiment:
         self.ckpt_path = ckpt_path
         self.seed = seed
         seed_everything(seed)
+        train_cfg0 = config.get("train", {}) or {}
+        # Dropout-mask generation dominates small-model step time with the
+        # default threefry PRNG (~2.3x whole-epoch cost measured on v5e);
+        # rbg is the TPU-recommended fast generator. Different random
+        # streams, identical semantics. Disable with train.fast_rng: false.
+        if bool(train_cfg0.get("fast_rng", True)) and jax.default_backend() == "tpu":
+            jax.config.update("jax_default_prng_impl", "rbg")
 
         self.bundle = get_model(config)
         if self.bundle.vit_config.input_kind == "image":
@@ -217,6 +310,7 @@ class Experiment:
         self.prefetch_depth = get_prefetch_depth(config)
         if num_devices is None:
             num_devices = train_cfg.get("gpus")  # CLI-injected device count
+        maybe_initialize_distributed()  # no-op single-host; DCN across slices
         self.mesh = make_mesh(num_devices=num_devices)
         # Keep per-device batch shape static: the data axis must divide batch.
         n_dev = self.mesh.devices.size
@@ -369,9 +463,34 @@ class Experiment:
         tx = build_optimizer(spec)
         if self.state is None:
             self.state = self._init_state(tx)
-        train_step = make_train_step(
-            self.bundle, tx, spec, self.noise_level, self.repl_shard, self.batch_shard
+
+        # Fused-epoch mode: one dispatch per epoch (lax.scan over steps) when
+        # the epoch fits in HBM and the mesh has a single data shard — the
+        # big throughput lever for small, dispatch-bound models.
+        fused_cfg = (self.config.get("train", {}) or {}).get("fused_epoch", "auto")
+        train_cols = {
+            k: v for k, v in train_ds.arrays().items() if k in ("x", "error", "label")
+        }
+        data_bytes = sum(v.nbytes for v in train_cols.values())
+        use_fused = (
+            (fused_cfg is True or fused_cfg == "auto")
+            and not self.debug
+            and self.mesh.shape.get("data", 1) == 1
+            and data_bytes < 4 * 1024**3
         )
+        if fused_cfg is False:
+            use_fused = False
+        if use_fused:
+            train_epoch = make_train_epoch(
+                self.bundle, tx, spec, self.noise_level, self.batch_size,
+                steps_per_epoch, self.repl_shard,
+            )
+            train_data_dev = jax.device_put(train_cols, self.repl_shard)
+            train_step = None
+        else:
+            train_step = make_train_step(
+                self.bundle, tx, spec, self.noise_level, self.repl_shard, self.batch_shard
+            )
 
         start_epoch = 0
         if self.ckpt_path:
@@ -431,25 +550,40 @@ class Experiment:
                 os.makedirs(self.profile_dir, exist_ok=True)
                 jax.profiler.start_trace(self.profile_dir)
             t0 = time.perf_counter()
-            losses = []
-            last_lr = spec.lr
-            for i, batch in enumerate(
-                prefetch_to_device(
-                    iter(batcher), size=self.prefetch_depth, sharding=self.batch_shard
+            if use_fused:
+                # Same shuffle semantics as the Batcher: permutation seeded
+                # by (seed + epoch), final partial batch cycled from start.
+                rng_np = np.random.default_rng(self.seed + epoch)
+                order = rng_np.permutation(len(train_ds))
+                total = steps_per_epoch * self.batch_size
+                if total > len(order):
+                    order = np.concatenate([order, order[: total - len(order)]])
+                self.state, losses, last_lr = train_epoch(
+                    self.state, train_data_dev,
+                    jax.device_put(np.asarray(order[:total], np.int32), self.repl_shard),
                 )
-            ):
-                self.state, m = train_step(self.state, batch)
-                losses.append(m["loss"])
-                last_lr = m["lr"]
-                if self.debug and i == 0:
-                    break
+                losses = jax.device_get(losses)
+                n_steps = steps_per_epoch
+            else:
+                losses = []
+                last_lr = spec.lr
+                for i, batch in enumerate(
+                    prefetch_to_device(
+                        iter(batcher), size=self.prefetch_depth, sharding=self.batch_shard
+                    )
+                ):
+                    self.state, m = train_step(self.state, batch)
+                    losses.append(m["loss"])
+                    last_lr = m["lr"]
+                    if self.debug and i == 0:
+                        break
+                n_steps = len(losses)
             if profiling:
-                jax.block_until_ready(losses[-1])
+                jax.block_until_ready(self.state.step)
                 jax.profiler.stop_trace()
                 print(f"[experiment] profiler trace written to {self.profile_dir}")
             train_loss = float(np.mean(jax.device_get(losses)))
             dt = time.perf_counter() - t0
-            n_steps = len(losses)
             epoch_metrics = {
                 "train_loss": train_loss,
                 "lr": float(jax.device_get(last_lr)),
