@@ -1,7 +1,5 @@
 """Config loader parity tests: env expansion, W&B flattening, deep_set."""
 
-import os
-
 import pytest
 import yaml
 

@@ -1,7 +1,5 @@
 """Hardware/mesh helpers."""
 
-import numpy as np
-
 from vit_tpu.hardware import (
     detect_accelerators,
     get_prefetch_depth,

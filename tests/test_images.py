@@ -1,10 +1,8 @@
 """Image-ViT family tests: dataset, module, end-to-end training."""
 
 import numpy as np
-import pytest
 
 from vit_tpu.data.images import (
-    ImageDataModule,
     ImageDataset,
     make_dummy_images,
     write_dummy_images_npz,

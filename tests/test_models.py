@@ -5,7 +5,7 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from vit_tpu.models.builder import VitConfig, build_model_name, get_model, get_vit_config
+from vit_tpu.models.builder import VitConfig, get_model, get_vit_config
 from vit_tpu.models.rope import apply_rope, rope_tables
 from vit_tpu.models.tokenization import (
     Conv1DPatchTokenizer,

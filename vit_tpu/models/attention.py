@@ -22,8 +22,6 @@ Softmax always accumulates in fp32 regardless of compute dtype.
 
 from __future__ import annotations
 
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 from flax import linen as nn

@@ -21,8 +21,7 @@ TPU-first extensions (no reference analogue):
 from __future__ import annotations
 
 import dataclasses
-import math
-from typing import Any, Dict, Optional
+from typing import Dict, Optional
 
 import jax.numpy as jnp
 from flax import linen as nn

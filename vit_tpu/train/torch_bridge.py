@@ -29,7 +29,7 @@ Functions return/accept plain ``{name: np.ndarray}`` dicts; use
 
 from __future__ import annotations
 
-from typing import Any, Dict, Optional
+from typing import Any, Dict
 
 import numpy as np
 

@@ -8,7 +8,7 @@ local artifact writing follows ``train.save``.
 
 from __future__ import annotations
 
-from typing import List, Optional, Tuple
+from typing import Optional, Tuple
 
 from vit_tpu.viz.diagnostics import CKAMonitor, VizDiagnostics
 
