@@ -29,12 +29,16 @@ def test_fused_epoch_matches_per_step(tiny_config, tmp_path, monkeypatch):
     assert int(exp_a.state.step) == int(exp_b.state.step)
 
 
-def test_fused_epoch_disabled_on_multi_device(tiny_config, tmp_path, monkeypatch):
-    """DP over >1 shard keeps the per-step sharded path (and still trains)."""
+def test_fused_epoch_data_parallel(tiny_config, tmp_path, monkeypatch):
+    """Fused epoch over 8 DP shards: batch axis sharded inside the scan."""
     monkeypatch.setenv("CKPT_DIR", str(tmp_path / "ckpt"))
     cfg = _cfg(tiny_config, "auto")
-    cfg["train"]["ep"] = 1
+    cfg["train"]["ep"] = 2
     exp = Experiment(cfg, seed=0, num_devices=8)
     assert exp.mesh.shape["data"] == 8
     metrics = exp.fit()
     assert np.isfinite(metrics["train_loss"])
+    # DP fused result must match the single-device fused result exactly
+    exp1 = Experiment(_cfg(tiny_config, True), seed=0, num_devices=1)
+    m1 = exp1.fit()
+    assert metrics["val_mae"] == pytest.approx(m1["val_mae"], rel=1e-5)

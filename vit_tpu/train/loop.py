@@ -155,6 +155,7 @@ def make_train_epoch(
     batch_size: int,
     steps_per_epoch: int,
     state_sharding=None,
+    batch_constraint=None,
 ) -> Callable:
     """Whole-epoch training as ONE dispatch: ``lax.scan`` over steps.
 
@@ -186,6 +187,12 @@ def make_train_epoch(
             )
             for k, v in data.items()
         }
+        if batch_constraint is not None:
+            # DP: shard each step's batch over the mesh data axis; XLA
+            # inserts the gradient all-reduce inside the scan body.
+            epoch_data = jax.lax.with_sharding_constraint(
+                epoch_data, batch_constraint
+            )
 
         def one_step(state, batch):
             rng, noise_rng, dropout_rng = jax.random.split(state.rng, 3)
@@ -475,15 +482,20 @@ class Experiment:
         use_fused = (
             (fused_cfg is True or fused_cfg == "auto")
             and not self.debug
-            and self.mesh.shape.get("data", 1) == 1
             and data_bytes < 4 * 1024**3
         )
         if fused_cfg is False:
             use_fused = False
         if use_fused:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            n_shards = self.mesh.shape.get("data", 1)
+            batch_constraint = (
+                NamedSharding(self.mesh, P(None, "data")) if n_shards > 1 else None
+            )
             train_epoch = make_train_epoch(
                 self.bundle, tx, spec, self.noise_level, self.batch_size,
-                steps_per_epoch, self.repl_shard,
+                steps_per_epoch, self.repl_shard, batch_constraint,
             )
             train_data_dev = jax.device_put(train_cols, self.repl_shard)
             train_step = None
@@ -515,7 +527,13 @@ class Experiment:
             if spec.scheduler == "plateau"
             else None
         )
-        early = EarlyStopping(patience=100 if self.sweep else 500, mode=self.monitor_mode)
+        early = EarlyStopping(
+            patience=100 if self.sweep else 500,
+            mode=self.monitor_mode,
+            divergence_threshold=(self.config.get("train", {}) or {}).get(
+                "divergence_threshold"
+            ),
+        )
 
         batcher = Batcher(
             train_ds.arrays(),

@@ -287,12 +287,19 @@ class PlateauScheduler:
 class EarlyStopping:
     """Host-side early stopping on the monitored metric.
 
-    Reference patience: 500 (run) / 100 (sweep) (`vit.py:364-365,417-425`).
+    Reference patience: 500 (run) / 100 (sweep), optional divergence
+    threshold (`vit.py:364-365,417-425`).
     """
 
-    def __init__(self, patience: int = 500, mode: str = "min"):
+    def __init__(
+        self,
+        patience: int = 500,
+        mode: str = "min",
+        divergence_threshold: Optional[float] = None,
+    ):
         self.patience = patience
         self.mode = mode
+        self.divergence_threshold = divergence_threshold
         self.best: Optional[float] = None
         self.num_bad = 0
 
@@ -301,6 +308,15 @@ class EarlyStopping:
         if value is None or not math.isfinite(value):
             self.num_bad += 1
             return self.num_bad >= self.patience
+        if self.divergence_threshold is not None:
+            diverged = (
+                value > self.divergence_threshold
+                if self.mode == "min"
+                else value < self.divergence_threshold
+            )
+            if diverged:
+                print(f"[early-stop] metric {value:.4g} crossed divergence threshold")
+                return True
         improved = (
             self.best is None
             or (self.mode == "min" and value < self.best)
