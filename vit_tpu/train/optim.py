@@ -194,13 +194,17 @@ def schedule_scale(spec: OptSpec) -> Callable[[Any], Any]:
         epoch = jnp.floor(step / spe)
 
         if spec.scheduler == "onecycle":
+            # torch OneCycleLR phase geometry: the up phase spans
+            # float(pct_start * total_steps) - 1 steps (peak at that step),
+            # the down phase the remaining total - up - 1.
             total_steps = float(spec.total_epochs * spe)
             init_scale = 1.0 / spec.div_factor
             final_scale = init_scale / spec.final_div_factor
-            up = spec.pct_start * total_steps
+            up = spec.pct_start * total_steps - 1.0
+            down = total_steps - up - 1.0
             pct_up = jnp.clip(step / jnp.maximum(up, 1.0), 0.0, 1.0)
             scale_up = init_scale + (1.0 - init_scale) * 0.5 * (1 - jnp.cos(math.pi * pct_up))
-            pct_down = jnp.clip((step - up) / jnp.maximum(total_steps - up, 1.0), 0.0, 1.0)
+            pct_down = jnp.clip((step - up) / jnp.maximum(down, 1.0), 0.0, 1.0)
             scale_down = final_scale + (1.0 - final_scale) * 0.5 * (1 + jnp.cos(math.pi * pct_down))
             return jnp.where(step <= up, scale_up, scale_down)
 

@@ -29,7 +29,22 @@ import numpy as np
 from vit_tpu.prepca.pipeline import compute_cka
 from vit_tpu.viz import gif_maker
 
-__all__ = ["VizDiagnostics", "CKAMonitor", "extract_diagnostics"]
+__all__ = ["VizDiagnostics", "CKAMonitor", "extract_diagnostics", "cka_matrix"]
+
+
+def cka_matrix(
+    reps_a: Dict[str, np.ndarray],
+    reps_b: Dict[str, np.ndarray],
+    kernel: str = "linear",
+) -> np.ndarray:
+    """Full layer-by-layer CKA matrix between two sets of representations
+    (reference `cka_utils.py:214-277`): entry (i, j) = CKA(a_i, b_j)."""
+    a_keys, b_keys = list(reps_a), list(reps_b)
+    out = np.zeros((len(a_keys), len(b_keys)))
+    for i, ka in enumerate(a_keys):
+        for j, kb in enumerate(b_keys):
+            out[i, j] = compute_cka(reps_a[ka], reps_b[kb], kernel=kernel, debiased=False)
+    return out
 
 MAX_FRAMES = 100
 
