@@ -38,9 +38,10 @@ def select_attn_impl(impl: str, seq_len: int, head_dim: int) -> str:
         return impl
     on_tpu = jax.default_backend() == "tpu"
     # Measured crossover on v5e: XLA's fused attention wins below ~2k tokens;
-    # the Pallas kernel wins at the stride-1 sweep scale (~4k). Tiny baseline
-    # shapes always take the XLA path.
-    if on_tpu and seq_len >= 2048:
+    # the Pallas kernel wins at the stride-1 sweep scale (~4k) — but only
+    # when head_dim isn't dwarfed by the 128-lane padding (d >= 64). Tiny
+    # baseline shapes always take the XLA path.
+    if on_tpu and seq_len >= 2048 and head_dim >= 64:
         return "flash"
     return "xla"
 
