@@ -112,6 +112,25 @@ def test_freeze_schedule_holds_then_releases(tiny_config, cov_path, monkeypatch,
     assert not np.allclose(moved_kernel, P.T, rtol=1e-6)
 
 
+def test_cls_preprocessor_test_only_entry(tiny_config, cov_path, monkeypatch, tmp_path):
+    """Eval-only entry (scripts/test.py path) for cls + preprocessor: the
+    raw input dim must come from the loaded test split, not the adjusted
+    model.image_size."""
+    monkeypatch.setenv("CKPT_DIR", str(tmp_path / "ckpt"))
+    cfg = _warm_config(tiny_config, cov_path, preprocessor="pca", r=32)
+    cfg["model"] = dict(cfg["model"], task_type="cls", num_labels=2)
+    cfg["train"]["ep"] = 1
+    cfg["train"]["save"] = True
+    exp = Experiment(cfg, seed=0)
+    exp.fit()
+
+    cfg2 = _warm_config(tiny_config, cov_path, preprocessor="pca", r=32)
+    cfg2["model"] = dict(cfg2["model"], task_type="cls", num_labels=2)
+    exp2 = Experiment(cfg2, seed=0)
+    m = exp2.test(ckpt="last")
+    assert np.isfinite(m["test_acc"])
+
+
 def test_permanent_freeze(tiny_config, cov_path, monkeypatch, tmp_path):
     monkeypatch.setenv("CKPT_DIR", str(tmp_path / "ckpt"))
     cfg = _warm_config(tiny_config, cov_path, preprocessor="zca",

@@ -356,8 +356,23 @@ class Experiment:
         if cfg.input_kind == "image":
             dummy = jnp.zeros((1, cfg.image_size, cfg.image_size, cfg.num_channels), jnp.float32)
         else:
-            flux = getattr(self.datamodule.train, "flux", None)
-            in_dim = flux.shape[1] if flux is not None else cfg.image_size
+            # Model input dim = the RAW spectrum length (a preprocessor may
+            # have auto-adjusted cfg.image_size to its output dim); take it
+            # from whichever dataset split is loaded.
+            in_dim = None
+            for split in (self.datamodule.train, self.datamodule.val, self.datamodule.test):
+                flux = getattr(split, "flux", None)
+                if flux is not None:
+                    in_dim = flux.shape[1]
+                    break
+            if in_dim is None:
+                in_dim = cfg.image_size
+                if self.bundle.has_preprocessor:
+                    raise RuntimeError(
+                        "Cannot infer the raw input dimension for a model with a "
+                        "preprocessor before any dataset is loaded; call "
+                        "datamodule.setup() first."
+                    )
             dummy = jnp.zeros((1, in_dim), jnp.float32)
         variables = self.bundle.module.init(init_rng, dummy)
         params = variables["params"]
