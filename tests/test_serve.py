@@ -1,0 +1,79 @@
+"""Serving tests: Predictor from orbax and torch checkpoints."""
+
+import numpy as np
+import pytest
+import yaml
+
+from vit_tpu.serve import Predictor
+from vit_tpu.train.loop import Experiment
+
+
+@pytest.fixture()
+def trained(tiny_config, tmp_path, monkeypatch):
+    monkeypatch.setenv("CKPT_DIR", str(tmp_path / "ckpt"))
+    cfg = dict(tiny_config)
+    cfg["train"] = dict(tiny_config["train"], ep=2, batch_size=16, save=True)
+    cfg["opt"] = {"type": "AdamW", "lr": 3e-3, "lr_sch": "none"}
+    exp = Experiment(cfg, seed=0)
+    exp.fit()
+    return exp, cfg
+
+
+def test_predict_denormalized(trained):
+    exp, cfg = trained
+    pred = Predictor.from_checkpoint(dict(cfg), ckpt="best", batch_size=16)
+    flux = exp.datamodule.val.flux
+    out = pred.predict(flux[:20])
+    assert out.shape == (20, 1)
+    # minmax-normalized log_g spans [0, 5]; denormalized output must be in
+    # physical units (not [0, 1])
+    raw = exp.datamodule.val.params_table["log_g"]
+    assert out.min() > raw.min() - 3 and out.max() < raw.max() + 3
+    assert out.std() < 5.0
+    # padding correctness: chunked sizes give the same result
+    pred2 = Predictor.from_checkpoint(dict(cfg), ckpt="best", batch_size=7)
+    np.testing.assert_allclose(pred2.predict(flux[:20]), out, rtol=1e-5)
+
+
+def test_predict_matches_experiment_eval(trained):
+    exp, cfg = trained
+    pred = Predictor.from_checkpoint(dict(cfg), ckpt="last", batch_size=16)
+    flux = exp.datamodule.val.flux[:16]
+    logits = pred._batched_logits(flux)
+    # same params as the live experiment's final state
+    direct = np.asarray(
+        exp.bundle.module.apply({"params": exp.state.params}, flux, deterministic=True)
+    )
+    np.testing.assert_allclose(logits, direct, rtol=1e-5, atol=1e-6)
+
+
+def test_predict_from_torch_checkpoint(trained, tmp_path):
+    """Serving directly from an exported reference-format torch state dict."""
+    import jax
+
+    from vit_tpu.train.torch_bridge import save_torch_checkpoint
+
+    exp, cfg = trained
+    pt = str(tmp_path / "exported.pt")
+    save_torch_checkpoint(jax.device_get(exp.state.params), exp.bundle.vit_config, pt)
+    pred = Predictor.from_checkpoint(dict(cfg), ckpt=pt, batch_size=16)
+    flux = exp.datamodule.val.flux[:8]
+    out = pred.predict(flux)
+    assert out.shape == (8, 1) and np.all(np.isfinite(out))
+
+
+def test_predict_proba_cls(tiny_config, tmp_path, monkeypatch):
+    monkeypatch.setenv("CKPT_DIR", str(tmp_path / "ckpt"))
+    cfg = dict(tiny_config)
+    cfg["model"] = dict(tiny_config["model"], task_type="cls", num_labels=2)
+    cfg["train"] = dict(tiny_config["train"], ep=1, batch_size=16, save=True)
+    cfg["opt"] = {"type": "AdamW", "lr": 1e-3, "lr_sch": "none"}
+    exp = Experiment(cfg, seed=0)
+    exp.fit()
+    pred = Predictor.from_checkpoint(dict(cfg), ckpt="last", batch_size=16)
+    flux = exp.datamodule.val.flux[:10]
+    proba = pred.predict_proba(flux)
+    assert proba.shape == (10, 2)
+    np.testing.assert_allclose(proba.sum(-1), 1.0, rtol=1e-5)
+    classes = pred.predict(flux)
+    np.testing.assert_array_equal(classes, proba.argmax(-1))

@@ -215,10 +215,33 @@ class _VmapSweepEngine:
                 loss,
             )
 
-        vstep = jax.jit(
-            jax.vmap(one_step, in_axes=(0, None, 0)),
+        def replica_epoch(state: TrainState, epoch_data, lr):
+            """One replica's whole epoch: lax.scan over the stacked steps."""
+
+            def body(st, batch):
+                st, loss = one_step(st, batch, lr)
+                return st, loss
+
+            state, losses = jax.lax.scan(body, state, epoch_data)
+            return state, losses
+
+        def all_replicas_epoch(state, data, perm, lrs):
+            # One gather for the epoch, shared by every replica.
+            epoch_data = {
+                k: jnp.take(v, perm, axis=0).reshape(
+                    (steps_per_epoch, batch_size) + v.shape[1:]
+                )
+                for k, v in data.items()
+            }
+            return jax.vmap(replica_epoch, in_axes=(0, None, 0))(state, epoch_data, lrs)
+
+        # The whole grid trains one full epoch in ONE dispatch: vmap over
+        # replicas x scan over steps (the per-step RPC round-trip dominates
+        # wall-clock in tunneled deployments).
+        vepoch = jax.jit(
+            all_replicas_epoch,
             donate_argnums=(0,),
-            in_shardings=(rep_shard, repl, rep_shard),
+            in_shardings=(rep_shard, repl, repl, rep_shard),
             out_shardings=(rep_shard, rep_shard),
         )
         veval = jax.jit(
@@ -251,17 +274,26 @@ class _VmapSweepEngine:
             return base_lrs * scales
 
         metric_key = self.metric_name.replace("val_", "")
-        batcher = Batcher(dm.train.arrays(), batch_size, shuffle=True, seed=self.seed)
+        train_cols = {
+            k: v for k, v in dm.train.arrays().items() if k in ("x", "error", "label")
+        }
+        train_data_dev = jax.device_put(train_cols, repl)
+        n_train = len(dm.train)
         val_arrays = dm.val.arrays()
-        n_shards = 1  # eval batches replicated across devices
         vbs = min(batch_size, len(dm.val))
         last_metrics = np.full(R, np.nan, np.float64)
 
         for epoch in range(max_epochs):
-            batcher.set_epoch(epoch)
+            # Batcher-equivalent shuffle: permutation seeded by (seed+epoch),
+            # partial final batch cycled from the epoch start.
+            rng_np = np.random.default_rng(self.seed + epoch)
+            order = rng_np.permutation(n_train)
+            total = steps_per_epoch * batch_size
+            if total > len(order):
+                order = np.concatenate([order, order[: total - len(order)]])
+            perm = jax.device_put(np.asarray(order[:total], np.int32), repl)
             lrs = jax.device_put(jnp.asarray(epoch_lrs(epoch)), rep_shard)
-            for batch in prefetch_to_device(iter(batcher), sharding=repl):
-                state, loss = vstep(state, batch, lrs)
+            state, _losses = vepoch(state, train_data_dev, perm, lrs)
             # per-replica validation
             vb = Batcher(val_arrays, vbs, eval_mode=True)
             logits_all, labels_all = [], []

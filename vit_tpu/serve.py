@@ -1,0 +1,164 @@
+"""Batch inference / serving.
+
+Production counterpart to training (the rebuild's deployment target): load a
+trained checkpoint — orbax (``best``/``last``/path) or a reference torch
+state dict — and run jit-compiled batched prediction with static shapes
+(last batch padded), returning *denormalized* stellar parameters for
+regression or class probabilities for classification.
+
+Label denormalization uses the normalization statistics persisted in the
+checkpoint's ``meta.yaml`` at train time (no training data needed at
+serving time).
+
+Example::
+
+    from vit_tpu.serve import Predictor
+    p = Predictor.from_checkpoint("configs/exp/att_clp/baseline.yaml", ckpt="best")
+    params = p.predict(spectra)          # (N, num_labels), physical units
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = ["Predictor"]
+
+
+class Predictor:
+    def __init__(
+        self,
+        module,
+        params,
+        vit_config,
+        label_norm: str = "none",
+        label_norm_stats: Optional[dict] = None,
+        batch_size: int = 256,
+    ) -> None:
+        self.module = module
+        self.params = params
+        self.vit_config = vit_config
+        self.label_norm = label_norm or "none"
+        self.label_norm_stats = {
+            k: (None if v is None else np.asarray(v, np.float64))
+            for k, v in (label_norm_stats or {}).items()
+        }
+        self.batch_size = int(batch_size)
+        self._forward = jax.jit(
+            lambda p, x: module.apply({"params": p}, x, deterministic=True)
+        )
+
+    # -- construction -------------------------------------------------------
+    @classmethod
+    def from_checkpoint(
+        cls,
+        config: Union[str, dict],
+        ckpt: str = "best",
+        batch_size: int = 256,
+    ) -> "Predictor":
+        """Build from a YAML config (path or dict) + checkpoint spec.
+
+        ``ckpt``: ``best`` | ``last`` | orbax dir | torch ``.pt``/``.ckpt``.
+        """
+        from vit_tpu.config import load_config
+        from vit_tpu.models.builder import get_model
+        from vit_tpu.train.checkpoint import CheckpointManager, default_ckpt_dir
+
+        cfg = load_config(config) if isinstance(config, str) else dict(config)
+        bundle = get_model(cfg)
+        mgr = CheckpointManager(
+            default_ckpt_dir(), bundle.model_name, enabled=False
+        )
+        meta = CheckpointManager(
+            default_ckpt_dir(), bundle.model_name, enabled=True
+        ).read_meta()
+
+        # Template params (raw input dim: eigvec rows for preprocessor models).
+        in_dim = cfg["model"]["image_size"]
+        if bundle.has_preprocessor:
+            from vit_tpu.utils import load_cov_stats
+
+            in_dim = int(load_cov_stats(cfg["warmup"]["cov_path"])["eigvecs"].shape[0])
+        vc = bundle.vit_config
+        if vc.input_kind == "image":
+            dummy = jnp.zeros((1, vc.image_size, vc.image_size, vc.num_channels))
+        else:
+            dummy = jnp.zeros((1, in_dim))
+        template = bundle.module.init(jax.random.PRNGKey(0), dummy)["params"]
+
+        if str(ckpt).endswith((".pt", ".pth", ".ckpt")):
+            from vit_tpu.train.torch_bridge import load_torch_checkpoint
+
+            params = load_torch_checkpoint(str(ckpt), template, vc)
+            params = jax.tree_util.tree_map(jnp.asarray, params)
+        else:
+            from vit_tpu.train.loop import TrainState
+            from vit_tpu.train.optim import OptSpec, build_optimizer
+
+            spec = OptSpec(lr=1e-3, opt_type="adamw")
+            tx = build_optimizer(spec)
+            state_t = TrainState(
+                step=jnp.zeros((), jnp.int32),
+                params=template,
+                opt_state=tx.init(template),
+                rng=jax.random.PRNGKey(0),
+                plateau_scale=jnp.ones(()),
+                frozen=jnp.zeros(()),
+            )
+            restored = CheckpointManager.restore(mgr.resolve(str(ckpt)), state_t)
+            params = jax.tree_util.tree_map(jnp.asarray, restored.params)
+
+        return cls(
+            bundle.module,
+            params,
+            vc,
+            label_norm=meta.get("label_norm", (cfg.get("data", {}) or {}).get("label_norm", "none")),
+            label_norm_stats=meta.get("label_norm_stats"),
+            batch_size=batch_size,
+        )
+
+    # -- inference -----------------------------------------------------------
+    def _batched_logits(self, x: np.ndarray) -> np.ndarray:
+        n = len(x)
+        bs = self.batch_size
+        outs = []
+        for i in range(0, n, bs):
+            chunk = x[i : i + bs]
+            pad = bs - len(chunk)
+            if pad:
+                chunk = np.concatenate([chunk, np.repeat(chunk[-1:], pad, axis=0)])
+            logits = np.asarray(self._forward(self.params, jnp.asarray(chunk)))
+            outs.append(logits[: bs - pad] if pad else logits)
+        return np.concatenate(outs)
+
+    def _denormalize(self, y: np.ndarray) -> np.ndarray:
+        from vit_tpu.viz.viz_utils import denormalize
+
+        s = self.label_norm_stats
+        return denormalize(
+            y,
+            self.label_norm,
+            label_mean=s.get("label_mean"),
+            label_std=s.get("label_std"),
+            label_min=s.get("label_min"),
+            label_max=s.get("label_max"),
+        )
+
+    def predict(self, x: np.ndarray) -> np.ndarray:
+        """reg: denormalized parameters (N, num_labels); cls: class ids (N,)."""
+        logits = self._batched_logits(np.asarray(x, np.float32))
+        if self.vit_config.task_type == "cls":
+            return logits.argmax(axis=-1)
+        return self._denormalize(logits)
+
+    def predict_proba(self, x: np.ndarray) -> np.ndarray:
+        """Classification: softmax probabilities (N, num_classes)."""
+        if self.vit_config.task_type != "cls":
+            raise ValueError("predict_proba is only defined for classification")
+        logits = self._batched_logits(np.asarray(x, np.float32))
+        z = logits - logits.max(axis=-1, keepdims=True)
+        e = np.exp(z)
+        return e / e.sum(axis=-1, keepdims=True)

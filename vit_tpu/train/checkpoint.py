@@ -79,7 +79,9 @@ class CheckpointManager:
             self.best_value = meta.get("best_value")
             self.best_epoch = meta.get("best_epoch")
 
-    def _write_meta(self, epoch: int, config: Optional[dict]) -> None:
+    def _write_meta(
+        self, epoch: int, config: Optional[dict], extra: Optional[dict] = None
+    ) -> None:
         meta = {
             "monitor": f"val_{self.monitor}",
             "mode": self.mode,
@@ -89,8 +91,16 @@ class CheckpointManager:
         }
         if config is not None:
             meta["config"] = config
+        if extra:
+            meta.update(extra)
         with open(self._meta_path(), "w") as f:
             yaml.safe_dump(meta, f, sort_keys=False)
+
+    def read_meta(self) -> dict:
+        if os.path.exists(self._meta_path()):
+            with open(self._meta_path()) as f:
+                return yaml.safe_load(f) or {}
+        return {}
 
     # -- save/restore ----------------------------------------------------
     def _save(self, path: str, state: Any) -> None:
@@ -106,6 +116,7 @@ class CheckpointManager:
         epoch: int,
         metric_value: Optional[float],
         config: Optional[dict] = None,
+        extra: Optional[dict] = None,
     ) -> bool:
         """Save ``last`` (+ ``best`` if the monitor improved). Returns
         whether this epoch became the new best."""
@@ -120,7 +131,7 @@ class CheckpointManager:
         if improved:
             self.best_value, self.best_epoch = metric_value, epoch
             self._save(self.best_path, state)
-        self._write_meta(epoch, config)
+        self._write_meta(epoch, config, extra)
         return improved
 
     def _improved(self, value: Optional[float]) -> bool:

@@ -560,6 +560,19 @@ class Experiment:
         monitor_key = f"val_{self.monitor}"
         epoch_metrics: Dict[str, float] = {}
 
+        # Label-norm stats into ckpt metadata so serving can denormalize
+        # without the training data (vit_tpu.serve.Predictor).
+        ckpt_extra = None
+        if isinstance(train_ds, RegSpecDataset):
+            stats = {
+                k: (None if v is None else np.asarray(v).tolist())
+                for k, v in train_ds.norm_stats().items()
+            }
+            ckpt_extra = {
+                "label_norm": train_ds.label_norm,
+                "label_norm_stats": stats,
+            }
+
         # Training diagnostics (GIFs + CKA monitor), reference viz subsystem.
         from vit_tpu.data.datasets import RegSpecDataset as _Reg
         from vit_tpu.viz.callback_factory import create_viz_callbacks
@@ -646,13 +659,13 @@ class Experiment:
                             epoch_metrics.update(cka.on_validation_epoch(epoch, diag))
                     except Exception as e:  # diagnostics never fail training
                         print(f"[viz] epoch diagnostics skipped: {e}")
-                self.ckpt.on_epoch_end(self.state, epoch, mon, config=self.config)
+                self.ckpt.on_epoch_end(self.state, epoch, mon, config=self.config, extra=ckpt_extra)
                 self.logger.log_epoch(epoch, epoch_metrics, step=int(self.state.step))
                 if early.step(mon):
                     print(f"[experiment] early stopping at epoch {epoch}")
                     break
             else:
-                self.ckpt.on_epoch_end(self.state, epoch, None, config=self.config)
+                self.ckpt.on_epoch_end(self.state, epoch, None, config=self.config, extra=ckpt_extra)
                 self.logger.log_epoch(epoch, epoch_metrics, step=int(self.state.step))
 
         if viz is not None:
