@@ -156,6 +156,7 @@ def make_train_epoch(
     steps_per_epoch: int,
     state_sharding=None,
     batch_constraint=None,
+    with_val: bool = False,
 ) -> Callable:
     """Whole-epoch training as ONE dispatch: ``lax.scan`` over steps.
 
@@ -177,7 +178,9 @@ def make_train_epoch(
     loss_name = bundle.loss_name
     has_preproc = bundle.has_preprocessor
 
-    def epoch_fn(state: TrainState, data: Dict[str, jnp.ndarray], perm: jnp.ndarray):
+    def epoch_fn(state: TrainState, data: Dict[str, jnp.ndarray], perm: jnp.ndarray,
+                 *val_args):
+        val_x = val_args[0] if val_args else None
         # ONE gather for the whole epoch (cheap, bandwidth-bound), then scan
         # over the stacked (steps, batch, ...) leading axis — per-step
         # dynamic gathers inside the scan body are ~4x slower on TPU.
@@ -224,13 +227,33 @@ def make_train_epoch(
             return new_state, (loss, lr)
 
         state, (losses, lrs) = jax.lax.scan(one_step, state, epoch_data)
-        return state, losses, lrs[-1]
+
+        if val_x is None:
+            return state, losses, lrs[-1]
+        # Fused validation: forward the (pre-noised) val inputs with the
+        # just-updated params in the SAME dispatch — the whole epoch costs
+        # one host round-trip. Scanned in batch-size chunks to bound memory.
+        n_val = val_x.shape[0]
+        n_chunks = max(1, -(-n_val // batch_size))
+        pad = n_chunks * batch_size - n_val
+        val_padded = jnp.pad(val_x, ((0, pad),) + ((0, 0),) * (val_x.ndim - 1))
+        chunks = val_padded.reshape((n_chunks, batch_size) + val_x.shape[1:])
+
+        def val_step(_, chunk):
+            logits = module.apply({"params": state.params}, chunk, deterministic=True)
+            return None, logits
+
+        _, val_logits = jax.lax.scan(val_step, None, chunks)
+        val_logits = val_logits.reshape((n_chunks * batch_size, -1))[:n_val]
+        return state, losses, lrs[-1], val_logits
 
     kwargs = {}
     if state_sharding is not None:
+        n_in = 4 if with_val else 3
+        n_out = 4 if with_val else 3
         kwargs = dict(
-            in_shardings=(state_sharding, state_sharding, state_sharding),
-            out_shardings=(state_sharding, state_sharding, state_sharding),
+            in_shardings=tuple([state_sharding] * n_in),
+            out_shardings=tuple([state_sharding] * n_out),
         )
     return jax.jit(epoch_fn, donate_argnums=(0,), **kwargs)
 
@@ -456,8 +479,9 @@ class Experiment:
             diag,
         )
 
-    def _eval_metrics(self, dataset, prefix: str, batch_size: int) -> Dict[str, float]:
-        logits, labels = self._run_eval(dataset, batch_size)
+    def _metrics_from_arrays(
+        self, logits: np.ndarray, labels: np.ndarray, prefix: str
+    ) -> Dict[str, float]:
         task = self.bundle.vit_config.task_type
         out: Dict[str, float] = {
             f"{prefix}_loss": _host_loss(logits, labels, task, self.bundle.loss_name)
@@ -470,6 +494,10 @@ class Experiment:
             m.update(regression_extras(logits, labels, names))
         out.update({f"{prefix}_{k}": v for k, v in m.items()})
         return out
+
+    def _eval_metrics(self, dataset, prefix: str, batch_size: int) -> Dict[str, float]:
+        logits, labels = self._run_eval(dataset, batch_size)
+        return self._metrics_from_arrays(logits, labels, prefix)
 
     # -- fit ---------------------------------------------------------------
     def fit(self) -> Dict[str, float]:
@@ -501,6 +529,8 @@ class Experiment:
         )
         if fused_cfg is False:
             use_fused = False
+        fused_val = False
+        val_x_dev = val_labels_host = None
         if use_fused:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -508,11 +538,25 @@ class Experiment:
             batch_constraint = (
                 NamedSharding(self.mesh, P(None, "data")) if n_shards > 1 else None
             )
+            # Fuse the validation forward into the same dispatch when the
+            # val set is small: ONE host round-trip per epoch, total.
+            fused_val = (
+                has_val
+                and n_shards == 1
+                and self.datamodule.val.model_input.nbytes < 512 * 1024**2
+            )
             train_epoch = make_train_epoch(
                 self.bundle, tx, spec, self.noise_level, self.batch_size,
                 steps_per_epoch, self.repl_shard, batch_constraint,
+                with_val=fused_val,
             )
             train_data_dev = jax.device_put(train_cols, self.repl_shard)
+            if fused_val:
+                val_x_dev = jax.device_put(
+                    np.asarray(self.datamodule.val.model_input, np.float32),
+                    self.repl_shard,
+                )
+                val_labels_host = np.asarray(self.datamodule.val.labels)
             train_step = None
         else:
             train_step = make_train_step(
@@ -596,6 +640,7 @@ class Experiment:
                 os.makedirs(self.profile_dir, exist_ok=True)
                 jax.profiler.start_trace(self.profile_dir)
             t0 = time.perf_counter()
+            fused_val_logits = None
             if use_fused:
                 # Same shuffle semantics as the Batcher: permutation seeded
                 # by (seed + epoch), final partial batch cycled from start.
@@ -604,10 +649,18 @@ class Experiment:
                 total = steps_per_epoch * self.batch_size
                 if total > len(order):
                     order = np.concatenate([order, order[: total - len(order)]])
-                self.state, losses, last_lr = train_epoch(
-                    self.state, train_data_dev,
-                    jax.device_put(np.asarray(order[:total], np.int32), self.repl_shard),
+                perm_dev = jax.device_put(
+                    np.asarray(order[:total], np.int32), self.repl_shard
                 )
+                if fused_val:
+                    (self.state, losses, last_lr, v_out) = train_epoch(
+                        self.state, train_data_dev, perm_dev, val_x_dev
+                    )
+                    fused_val_logits = np.asarray(jax.device_get(v_out))
+                else:
+                    self.state, losses, last_lr = train_epoch(
+                        self.state, train_data_dev, perm_dev
+                    )
                 losses = jax.device_get(losses)
                 n_steps = steps_per_epoch
             else:
@@ -640,9 +693,14 @@ class Experiment:
                 epoch_metrics["preprocessor_frozen"] = float(self.state.frozen)
 
             if has_val:
-                val_metrics = self._eval_metrics(
-                    self.datamodule.val, "val", self.datamodule.val_batch_size
-                )
+                if use_fused and fused_val and fused_val_logits is not None:
+                    val_metrics = self._metrics_from_arrays(
+                        fused_val_logits, val_labels_host, "val"
+                    )
+                else:
+                    val_metrics = self._eval_metrics(
+                        self.datamodule.val, "val", self.datamodule.val_batch_size
+                    )
                 epoch_metrics.update(val_metrics)
                 mon = val_metrics.get(monitor_key)
                 if plateau is not None:
