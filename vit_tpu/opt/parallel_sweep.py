@@ -105,12 +105,14 @@ class _VmapSweepEngine:
     """Train every SweepConfig simultaneously as vmapped replicas."""
 
     def __init__(self, base_config: dict, configs: List[SweepConfig],
-                 metric_name: str, metric_goal: str, seed: int):
+                 metric_name: str, metric_goal: str, seed: int,
+                 skip_test: bool = True):
         self.base_config = base_config
         self.configs = configs
         self.metric_name = metric_name
         self.metric_goal = metric_goal
         self.seed = seed
+        self.skip_test = skip_test
 
     def run(self) -> List[SweepResult]:
         import jax
@@ -320,6 +322,26 @@ class _VmapSweepEngine:
                 flush=True,
             )
 
+        # Optional per-replica test evaluation (reference --run-test; test
+        # metrics are reported, never used for selection).
+        test_msgs = [None] * R
+        if not self.skip_test:
+            dm.setup("test")
+            if dm.test is not None and len(dm.test) > 0:
+                tb = Batcher(dm.test.arrays(), min(batch_size, len(dm.test)), eval_mode=True)
+                logits_all, labels_all = [], []
+                for batch in prefetch_to_device(iter(tb), sharding=repl):
+                    logits = veval(state.params, batch)
+                    m = np.asarray(jax.device_get(batch["mask"]))
+                    logits_all.append(np.asarray(jax.device_get(logits))[:, m])
+                    labels_all.append(np.asarray(jax.device_get(batch["label"]))[m])
+                tl = np.concatenate(logits_all, axis=1)
+                tlab = np.concatenate(labels_all, axis=0)
+                for i in range(R):
+                    mm = (classification_metrics(tl[i], tlab) if task == "cls"
+                          else regression_metrics(tl[i], tlab))
+                    test_msgs[i] = f"test_{metric_key}={mm.get(metric_key, float('nan')):.6f}"
+
         wall = time.perf_counter() - t_start
         results = []
         for i, c in enumerate(self.configs):
@@ -331,7 +353,7 @@ class _VmapSweepEngine:
                     metric=v if ok else None,
                     duration_sec=wall,
                     status="ok" if ok else "error",
-                    message=None if ok else "non-finite metric (diverged)",
+                    message=(None if ok else "non-finite metric (diverged)") or test_msgs[i],
                 )
             )
         return results
@@ -423,7 +445,7 @@ class ParallelSweepRunner:
         os.makedirs(self.run_dir, exist_ok=True)
         engine = _VmapSweepEngine(
             self.base_config, self.sweep_configs, self.metric_name,
-            self.metric_goal, self.seed,
+            self.metric_goal, self.seed, skip_test=self.skip_test,
         )
         results = engine.run()
         for i, r in enumerate(results):
