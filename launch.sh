@@ -1,11 +1,12 @@
 #!/usr/bin/env bash
 set -Eeuo pipefail
 
-# TPU-native launcher with the reference's four entry points and flag surface
-# (see /root/reference/launch.sh):
+# TPU-native launcher exposing the reference's four entry points and flag
+# surface (behavioral contract: /root/reference/launch.sh; parser and
+# structure are this repo's own):
 #   run   - standard training (scripts/run.py)
 #   test  - evaluation only (scripts/test.py)
-#   lr    - learning-rate + scheduler sweep (vit_tpu/opt/parallel_sweep.py)
+#   lr    - two-stage learning-rate + scheduler sweep (vmapped replicas)
 #   sweep - W&B sweep helper (wraps wandb CLI + scripts/sweep.py)
 #
 # Examples:
@@ -15,248 +16,212 @@ set -Eeuo pipefail
 #   ./launch.sh sweep -c configs/sweep.yaml -e myorg -p vit --count 5
 #
 # TPU notes: -g counts mesh devices (run/test) or parallel replicas
-# (lr/sweep); there is no CUDA_VISIBLE_DEVICES pinning — the lr sweep runs
-# all trials in ONE launch as vmapped replicas over the device mesh.
+# (lr/sweep); there is no per-process GPU pinning — the lr sweep trains
+# every trial in ONE launch as vmapped replicas over the device mesh.
 
-MODE="run"
-WANDB=1
-DEBUG=0
-SAVE=0
-DRY_RUN=0
-CUSTOM_CONFIG=""
-CKPT_PATH=""
-GPU_COUNT=""
-GPU_OVERRIDE=""
-SWEEP_CONFIG=""
-SWEEP_ENTITY="${WANDB_ENTITY:-}"
-SWEEP_PROJECT="${WANDB_PROJECT:-vit-test}"
-SWEEP_COUNT=""
-EXTRA_ARGS=()
+usage() {
+  cat <<'HELP'
+usage: ./launch.sh [run|test|lr|sweep] [options] [-- passthrough args]
 
-if [[ $# -gt 0 ]]; then
-  case "$1" in
-    run|test|lr|sweep)
-      MODE="$1"; shift ;;
+modes
+  run    train (+ final test) with scripts/run.py        [default]
+  test   evaluate a checkpoint with scripts/test.py
+  lr     two-stage LR/scheduler search:
+           stage 1: 7 LRs x scheduler none
+           stage 2: best LR x {plateau(0.8/10), cosine, none}
+         artifacts land in opt_runs/sweep/parallel_sweep_<ts>/
+         (summary.yaml, best_config.yaml); --dry-run previews the grid
+  sweep  create a W&B sweep and start one agent per replica id
+
+options
+  -c, --config PATH     YAML config (run/test/lr; sweep: the sweep YAML)
+      --sweep-config P  explicit sweep YAML (sweep mode alternative to -c)
+  -g, --gpu VALUE       run/test: mesh device count
+                        lr/sweep: comma-separated replica ids
+  -w, --wandb {0,1}     W&B logging on/off                 [1]
+  -d, --debug INT       debug level forwarded to scripts    [0]
+      --save            save checkpoints
+      --ckpt SPEC       best | last | path (test / resume)
+      --dry-run         lr mode: print the sweep plan, train nothing
+  -e, --entity NAME     W&B entity (sweep mode; or $WANDB_ENTITY)
+  -p, --project NAME    W&B project (sweep mode)            [vit-test]
+      --count N         trials per W&B agent
+  -h, --help            this text
+
+Unrecognized options are forwarded verbatim to the underlying script
+(run/test modes), e.g. extra argparse flags of scripts/run.py.
+HELP
+}
+
+die() { echo "launch.sh: $*" >&2; exit 1; }
+
+# ---- defaults + flag parsing ------------------------------------------------
+mode=run
+cfg_path=""
+sweep_cfg=""
+devices=""
+wandb_on=1
+debug_lvl=0
+save_ckpts=0
+ckpt_spec=""
+dry_run=0
+wb_entity="${WANDB_ENTITY:-}"
+wb_project="${WANDB_PROJECT:-vit-test}"
+agent_trials=""
+passthru=()
+
+case "${1:-}" in run|test|lr|sweep) mode=$1; shift;; esac
+
+while (($#)); do
+  opt=$1
+  case "$opt" in
+    -h|--help)        usage; exit 0;;
+    --save)           save_ckpts=1;;
+    --dry-run)        dry_run=1;;
+    -c|--config)      cfg_path=${2:?$opt needs a value}; shift;;
+    --sweep-config)   sweep_cfg=${2:?$opt needs a value}; shift;;
+    -g|--gpu)         devices=${2:?$opt needs a value}; shift;;
+    -w|--wandb)       wandb_on=${2:?$opt needs a value}; shift;;
+    -d|--debug)       debug_lvl=${2:?$opt needs a value}; shift;;
+    --ckpt)           ckpt_spec=${2:?$opt needs a value}; shift;;
+    -e|--entity)      wb_entity=${2:?$opt needs a value}; shift;;
+    -p|--project)     wb_project=${2:?$opt needs a value}; shift;;
+    --count)          agent_trials=${2:?$opt needs a value}; shift;;
+    *)                passthru+=("$opt");;
   esac
-fi
-
-while [[ $# -gt 0 ]]; do
-  case "$1" in
-    -c|--config)
-      CUSTOM_CONFIG="$2"; shift 2 ;;
-    --sweep-config)
-      SWEEP_CONFIG="$2"; shift 2 ;;
-    -g|--gpu)
-      GPU_COUNT="$2"; GPU_OVERRIDE="$2"; shift 2 ;;
-    -w|--wandb)
-      WANDB="$2"; shift 2 ;;
-    -d|--debug)
-      DEBUG="$2"; shift 2 ;;
-    --save)
-      SAVE=1; shift ;;
-    --ckpt)
-      CKPT_PATH="$2"; shift 2 ;;
-    --dry-run)
-      DRY_RUN=1; shift ;;
-    -e|--entity)
-      SWEEP_ENTITY="$2"; shift 2 ;;
-    -p|--project)
-      SWEEP_PROJECT="$2"; shift 2 ;;
-    --count)
-      SWEEP_COUNT="$2"; shift 2 ;;
-    -h|--help)
-      cat <<'USAGE'
-Usage: ./launch.sh [run|test|lr|sweep] [options]
-  -c, --config PATH        Config file (YAML). Required for sweep.
-  -g, --gpu VALUE          run/test: mesh device count
-                           lr/sweep: comma-separated replica ids (count used)
-  -w, --wandb {0,1}        Enable/disable W&B logging (default: 1)
-  -d, --debug INT          Debug flag forwarded to scripts (default: 0)
-      --save               Save checkpoints during run
-      --ckpt PATH          Checkpoint (best|last|path) for test/resume
-      --dry-run            Preview lr sweep without launching jobs
-  -e, --entity NAME        W&B entity (sweep mode)
-  -p, --project NAME       W&B project (sweep mode)
-      --count N            Runs per agent for sweep mode
-USAGE
-      exit 0 ;;
-    *)
-      EXTRA_ARGS+=("$1"); shift ;;
-  esac
+  shift
 done
 
-# Load environment overrides
-if [ -f ./.env ]; then
-  set -a
-  . ./.env
-  set +a
+# .env provides data/checkpoint dirs and W&B settings; exported so the
+# python layer's ${VAR} config expansion sees them.
+if [[ -f ./.env ]]; then
+  set -a; source ./.env; set +a
 fi
 
 export ROOT="${ROOT:-$PWD}"
 export PYTHONPATH="$ROOT:${PYTHONPATH:-}"
-PYTHON_BIN="${PYTHON_BIN:-python}"
+py="${PYTHON_BIN:-python}"
 
-DEFAULT_CONFIG="$ROOT/configs/exp/att_clp/baseline.yaml"
-LR_DEFAULT_CONFIG="$ROOT/configs/config.yaml"
+# ---- mode bodies ------------------------------------------------------------
 
-if [ "$MODE" = "lr" ]; then
-  CONFIG_FILE="${CUSTOM_CONFIG:-$LR_DEFAULT_CONFIG}"
-  GPU_LIST="${GPU_OVERRIDE:-${GPUS:-0}}"
-  echo "[launch] MODE=lr CONFIG=$CONFIG_FILE REPLICAS=$GPU_LIST DRY_RUN=$DRY_RUN"
-  mkdir -p "$ROOT/opt_runs/sweep"
-  if [ "$DRY_RUN" = "1" ]; then
-    "$PYTHON_BIN" -m vit_tpu.opt.parallel_sweep \
-      "$CONFIG_FILE" \
-      --lr 1e-5 5e-5 1e-4 5e-4 1e-3 5e-3 1e-2 \
-      --schedulers plateau cosine none \
-      --gpus "$GPU_LIST" \
-      --dry-run
-    exit 0
+run_or_test() {
+  local script=$1 cfg
+  cfg="${cfg_path:-$ROOT/configs/exp/att_clp/baseline.yaml}"
+  local -a cmd=("$py" "./scripts/$script" -f "$cfg" -w "$wandb_on" --debug "$debug_lvl")
+  if [[ $mode == run ]]; then
+    echo "[launch] MODE=run CONFIG=$cfg WANDB=$wandb_on DEBUG=$debug_lvl SAVE=$save_ckpts"
+    ((save_ckpts)) && cmd+=(--save)
+  else
+    echo "[launch] MODE=test CONFIG=$cfg WANDB=$wandb_on DEBUG=$debug_lvl"
+  fi
+  [[ -n $ckpt_spec ]] && cmd+=(--ckpt "$ckpt_spec")
+  [[ -n $devices ]] && cmd+=(-g "$devices")
+  ((${#passthru[@]})) && cmd+=("${passthru[@]}")
+  printf '[launch] CMD=%s ' "${cmd[@]}"; echo
+  exec "${cmd[@]}"
+}
+
+lr_search() {
+  local cfg replicas outdir stage_dir best_lr
+  cfg="${cfg_path:-$ROOT/configs/config.yaml}"
+  replicas="${devices:-${GPUS:-0}}"
+  outdir="$ROOT/opt_runs/sweep"
+  echo "[launch] MODE=lr CONFIG=$cfg REPLICAS=$replicas DRY_RUN=$dry_run"
+  mkdir -p "$outdir"
+
+  local -a grid=(--lr 1e-5 5e-5 1e-4 5e-4 1e-3 5e-3 1e-2)
+  if ((dry_run)); then
+    "$py" -m vit_tpu.opt.parallel_sweep "$cfg" "${grid[@]}" \
+      --schedulers plateau cosine none --gpus "$replicas" --dry-run
+    return 0
   fi
 
-  "$PYTHON_BIN" -m vit_tpu.opt.parallel_sweep \
-    "$CONFIG_FILE" \
-    --lr 1e-5 5e-5 1e-4 5e-4 1e-3 5e-3 1e-2 \
-    --schedulers none \
-    --gpus "$GPU_LIST" \
-    --results-dir "$ROOT/opt_runs/sweep"
+  # stage 1: LR grid, no scheduler
+  "$py" -m vit_tpu.opt.parallel_sweep "$cfg" "${grid[@]}" \
+    --schedulers none --gpus "$replicas" --results-dir "$outdir"
+  stage_dir=$(ls -td "$outdir"/parallel_sweep_* 2>/dev/null | head -1)
+  [[ -n $stage_dir ]] || die "stage-1 sweep produced no results directory"
+  best_lr=$("$py" -c "import yaml,sys; print(yaml.safe_load(open(sys.argv[1]))['best']['config']['lr'])" \
+    "$stage_dir/summary.yaml") || die "cannot read best LR from $stage_dir/summary.yaml"
+  echo "[launch] Best LR from sweep: $best_lr"
 
-  LATEST_DIR=$(ls -td "$ROOT/opt_runs/sweep/parallel_sweep_"* 2>/dev/null | head -1)
-  if [ -z "$LATEST_DIR" ]; then
-    echo "Error: sweep results missing" >&2
-    exit 1
-  fi
-  BEST_LR=$("$PYTHON_BIN" -c "import yaml; data=yaml.safe_load(open('${LATEST_DIR}/summary.yaml')); print(data['best']['config']['lr'])" 2>/dev/null || true)
-  if [ -z "$BEST_LR" ]; then
-    echo "Error: unable to read best LR" >&2
-    exit 1
-  fi
-  echo "[launch] Best LR from sweep: $BEST_LR"
+  # stage 2: scheduler grid at the stage-1 winner
+  "$py" -m vit_tpu.opt.parallel_sweep "$cfg" \
+    --lr "$best_lr" --schedulers plateau cosine none \
+    --plateau-factor 0.8 --plateau-patience 10 \
+    --gpus "$replicas" --results-dir "$outdir"
+  stage_dir=$(ls -td "$outdir"/parallel_sweep_* 2>/dev/null | head -1)
 
-  "$PYTHON_BIN" -m vit_tpu.opt.parallel_sweep \
-    "$CONFIG_FILE" \
-    --lr "$BEST_LR" \
-    --schedulers plateau cosine none \
-    --plateau-factor 0.8 \
-    --plateau-patience 10 \
-    --gpus "$GPU_LIST" \
-    --results-dir "$ROOT/opt_runs/sweep"
-
-  LATEST_DIR=$(ls -td "$ROOT/opt_runs/sweep/parallel_sweep_"* 2>/dev/null | head -1)
-  "$PYTHON_BIN" - <<PY
-import yaml
+  "$py" - "$stage_dir" <<'PY'
+import sys
 from pathlib import Path
-summary = Path('${LATEST_DIR}') / 'summary.yaml'
-if summary.exists():
-    data = yaml.safe_load(summary.read_text())
-    best = data.get('best', {})
-    config = best.get('config', {})
-    print('──────── Sweep Summary ────────')
-    print(f"LR        : {config.get('lr')}")
-    print(f"Scheduler : {config.get('scheduler', 'none')}")
-    if config.get('scheduler') == 'plateau':
-        if 'factor' in config: print(f"Factor    : {config['factor']}")
-        if 'patience' in config: print(f"Patience  : {config['patience']}")
-    metric = best.get('metric')
-    if metric is not None:
-        print(f"val_mae   : {metric:.6f}")
-    print(f"Summary   : {summary}")
-    bc = Path('${LATEST_DIR}') / 'best_config.yaml'
-    if bc.exists():
-        print(f"Best cfg  : {bc}")
-    print('────────────────────────────────')
-else:
-    print('summary.yaml missing in latest sweep directory')
+
+import yaml
+
+run_dir = Path(sys.argv[1])
+summary = run_dir / "summary.yaml"
+if not summary.exists():
+    print("summary.yaml missing in latest sweep directory")
+    raise SystemExit(0)
+best = (yaml.safe_load(summary.read_text()) or {}).get("best", {})
+cfg = best.get("config", {})
+lines = [
+    ("LR", cfg.get("lr")),
+    ("Scheduler", cfg.get("scheduler", "none")),
+]
+if cfg.get("scheduler") == "plateau":
+    lines += [("Factor", cfg.get("factor")), ("Patience", cfg.get("patience"))]
+if best.get("metric") is not None:
+    lines.append(("val_mae", f"{best['metric']:.6f}"))
+lines.append(("Summary", summary))
+if (run_dir / "best_config.yaml").exists():
+    lines.append(("Best cfg", run_dir / "best_config.yaml"))
+print("──────── Sweep Summary ────────")
+for key, val in lines:
+    if val is not None:
+        print(f"{key:<10}: {val}")
+print("────────────────────────────────")
 PY
-  exit 0
-fi
+}
 
-if [ "$MODE" = "sweep" ]; then
-  SWEEP_FILE="${SWEEP_CONFIG:-$CUSTOM_CONFIG}"
-  if [ -z "$SWEEP_FILE" ]; then
-    echo "Please provide -c/--config with a sweep YAML." >&2
-    exit 1
-  fi
-  if [ ! -f "$SWEEP_FILE" ]; then
-    echo "Sweep config not found: $SWEEP_FILE" >&2
-    exit 1
-  fi
-  if ! command -v wandb >/dev/null 2>&1; then
-    echo "wandb CLI not found. Install wandb to use sweep mode (lr mode works without it)." >&2
-    exit 1
-  fi
-  if [ -z "$SWEEP_ENTITY" ]; then
-    echo "Set --entity or WANDB_ENTITY for sweep mode." >&2
-    exit 1
-  fi
+wandb_sweep() {
+  local sweep_file="${sweep_cfg:-$cfg_path}"
+  [[ -n $sweep_file ]] || die "provide -c/--config with a sweep YAML"
+  [[ -f $sweep_file ]] || die "sweep config not found: $sweep_file"
+  command -v wandb >/dev/null 2>&1 \
+    || die "wandb CLI not found (lr mode works without it)"
+  [[ -n $wb_entity ]] || die "set --entity or WANDB_ENTITY for sweep mode"
 
-  AGENT_LIST="${GPU_OVERRIDE:-0}"
+  echo "[launch] Creating sweep: config=$sweep_file entity=$wb_entity project=$wb_project"
+  local created sweep_id full_id
+  created=$(wandb sweep -e "$wb_entity" -p "$wb_project" "$sweep_file" 2>&1 | tee /dev/stderr)
+  sweep_id=$(grep -oE 'Creating sweep with ID: [A-Za-z0-9]+' <<<"$created" | awk '{print $NF}' | tail -n1)
+  [[ -n $sweep_id ]] || die "failed to parse sweep ID from wandb output"
+  full_id="$wb_entity/$wb_project/$sweep_id"
+  echo "[launch] Sweep ID: $full_id"
 
-  echo "[launch] Creating sweep: config=$SWEEP_FILE entity=$SWEEP_ENTITY project=$SWEEP_PROJECT"
-  CREATE_OUT=$(wandb sweep -e "$SWEEP_ENTITY" -p "$SWEEP_PROJECT" "$SWEEP_FILE" 2>&1 | tee /dev/stderr)
-  SWEEP_ID=$(echo "$CREATE_OUT" | grep -oE 'Creating sweep with ID: [A-Za-z0-9]+' | awk '{print $NF}' | tail -n1)
-  if [ -z "$SWEEP_ID" ]; then
-    echo "Failed to parse sweep ID." >&2
-    exit 1
-  fi
-  FULL_ID="$SWEEP_ENTITY/$SWEEP_PROJECT/$SWEEP_ID"
-  echo "[launch] Sweep ID: $FULL_ID"
-
-  IFS=',' read -r -a AGENT_ARR <<< "$AGENT_LIST"
-  echo "[launch] Starting ${#AGENT_ARR[@]} agent(s)"
-  PIDS=()
-  for AGENT in "${AGENT_ARR[@]}"; do
-    AGENT=$(echo "$AGENT" | xargs)
-    [ -z "$AGENT" ] && continue
-    if [ -n "$SWEEP_COUNT" ]; then
-      wandb agent --count "$SWEEP_COUNT" "$FULL_ID" &
+  local -a agent_pids=()
+  IFS=',' read -r -a replica_ids <<<"${devices:-0}"
+  echo "[launch] Starting ${#replica_ids[@]} agent(s)"
+  local rid
+  for rid in "${replica_ids[@]}"; do
+    rid=${rid//[[:space:]]/}
+    [[ -n $rid ]] || continue
+    if [[ -n $agent_trials ]]; then
+      wandb agent --count "$agent_trials" "$full_id" &
     else
-      wandb agent "$FULL_ID" &
+      wandb agent "$full_id" &
     fi
-    PIDS+=($!)
-    echo "  → agent $AGENT PID ${PIDS[-1]}"
+    agent_pids+=($!)
+    echo "  -> agent $rid PID ${agent_pids[-1]}"
   done
-
-  trap 'echo; echo "Stopping sweep agents..."; kill ${PIDS[@]} 2>/dev/null || true; exit 0' INT TERM
+  trap 'echo; echo "Stopping sweep agents..."; kill "${agent_pids[@]}" 2>/dev/null || true; exit 0' INT TERM
   wait
-  exit 0
-fi
+}
 
-CONFIG_FILE="${CUSTOM_CONFIG:-$DEFAULT_CONFIG}"
-
-if [ "$MODE" = "test" ]; then
-  PY="./scripts/test.py"
-  echo "[launch] MODE=test CONFIG=$CONFIG_FILE WANDB=$WANDB DEBUG=$DEBUG"
-  CMD=("$PYTHON_BIN" "$PY" -f "$CONFIG_FILE" -w "$WANDB" --debug "$DEBUG")
-  if [ -n "$CKPT_PATH" ]; then
-    CMD+=(--ckpt "$CKPT_PATH")
-  fi
-  if [ -n "$GPU_COUNT" ]; then
-    CMD+=(-g "$GPU_COUNT")
-  fi
-  if [ ${#EXTRA_ARGS[@]} -gt 0 ]; then
-    CMD+=("${EXTRA_ARGS[@]}")
-  fi
-  printf '[launch] CMD=%s ' "${CMD[@]}"; echo
-  "${CMD[@]}"
-  exit 0
-fi
-
-# MODE=run
-PY="./scripts/run.py"
-echo "[launch] MODE=run CONFIG=$CONFIG_FILE WANDB=$WANDB DEBUG=$DEBUG SAVE=$SAVE"
-CMD=("$PYTHON_BIN" "$PY" -f "$CONFIG_FILE" -w "$WANDB" --debug "$DEBUG")
-if [ "$SAVE" -eq 1 ]; then
-  CMD+=(--save)
-fi
-if [ -n "$CKPT_PATH" ]; then
-  CMD+=(--ckpt "$CKPT_PATH")
-fi
-if [ -n "$GPU_COUNT" ]; then
-  CMD+=(-g "$GPU_COUNT")
-fi
-if [ ${#EXTRA_ARGS[@]} -gt 0 ]; then
-  CMD+=("${EXTRA_ARGS[@]}")
-fi
-printf '[launch] CMD=%s ' "${CMD[@]}"; echo
-"${CMD[@]}"
+case "$mode" in
+  run)   run_or_test run.py;;
+  test)  run_or_test test.py;;
+  lr)    lr_search;;
+  sweep) wandb_sweep;;
+esac

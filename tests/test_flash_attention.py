@@ -50,14 +50,49 @@ def test_flash_gradients_match_reference():
 
 
 def test_select_attn_impl_policy():
+    # Backend-independent: same graph choice on the CPU test mesh and TPU.
     assert select_attn_impl("xla", 4096, 64) == "xla"
     assert select_attn_impl("flash", 129, 16) == "flash"
-    auto_small = select_attn_impl("auto", 129, 16)
-    auto_large = select_attn_impl("auto", 4096, 64)
-    if ON_TPU:
-        assert auto_small == "xla" and auto_large == "flash"
-    else:
-        assert auto_small == "xla" and auto_large == "xla"
+    assert select_attn_impl("auto", 129, 16) == "xla"
+    assert select_attn_impl("auto", 4096, 64) == "flash"
+
+
+def test_select_attn_impl_dropout_forces_xla():
+    """Active probs-dropout must never reach the fused kernel (which would
+    silently skip it — reference applies dropout to probabilities)."""
+    assert select_attn_impl("flash", 4096, 64, dropout_active=True) == "xla"
+    assert select_attn_impl("auto", 4096, 64, dropout_active=True) == "xla"
+    assert select_attn_impl("flash", 4096, 64, dropout_active=False) == "flash"
+
+
+@pytest.mark.parametrize("t", [300, 257, 384, 130])
+def test_pallas_kernel_grid_covers_tail_rows(t):
+    """Interpret-mode run of the REAL Pallas kernels at lengths where
+    round_up(t, max(block)) was not divisible by block_q (silently-unwritten
+    query rows 256..t-1 before the _fit_block fix)."""
+    rng = np.random.default_rng(2)
+    shape = (1, 2, t, 32)
+    q, k, v = (jnp.asarray(rng.standard_normal(shape), jnp.float32) for _ in range(3))
+    out = flash_attention(q, k, v, interpret=True)
+    ref = _ref(q, k, v)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+def test_pallas_kernel_backward_interpret():
+    """Backward kernels (dq + dkv) in interpret mode at a tail-row length."""
+    rng = np.random.default_rng(3)
+    shape = (1, 1, 300, 32)
+    q, k, v = (jnp.asarray(rng.standard_normal(shape), jnp.float32) for _ in range(3))
+
+    loss_flash = lambda q, k, v: (  # noqa: E731
+        flash_attention(q, k, v, interpret=True) ** 2
+    ).sum()
+    loss_ref = lambda q, k, v: (_ref(q, k, v) ** 2).sum()  # noqa: E731
+    g1 = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    g2 = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(g1, g2):
+        rel = float(jnp.abs(a - b).max() / (jnp.abs(b).max() + 1e-9))
+        assert rel < 1e-4, rel
 
 
 def test_model_trains_with_flash_impl(tiny_config, tmp_path, monkeypatch):

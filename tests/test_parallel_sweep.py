@@ -96,3 +96,70 @@ def test_sweep_requires_val(sweep_base_config, tmp_path):
     # no validation split -> the sweep cannot rank replicas and must say so
     with pytest.raises(RuntimeError, match="validation"):
         runner.run()
+
+
+def test_diverged_replica_isolated(sweep_base_config, tmp_path):
+    """A replica with an absurd LR (1e2) diverges to NaN mid-sweep; the grid
+    must still finish, write a full summary.yaml, and mark only that replica
+    status='error' (reference parallel_sweep.py:193-209 isolation)."""
+    runner = ParallelSweepRunner(
+        sweep_base_config,
+        lr_values=[1e-3, 1e2],
+        schedulers=["none"],
+        results_dir=str(tmp_path / "runs"),
+        seed=0,
+    )
+    best = runner.run()
+    assert best is not None and best.config.lr == 1e-3
+
+    with open(runner.summary_path) as f:
+        summary = yaml.safe_load(f)
+    assert len(summary["results"]) == 2
+    by_lr = {r["config"]["lr"]: r for r in summary["results"]}
+    assert by_lr[1e-3]["status"] == "ok"
+    bad = by_lr[1e2]
+    if bad["status"] == "error":  # divergence timing can vary
+        assert "non-finite" in (bad["message"] or "")
+    # per-replica durations are individually stamped, not one shared wall
+    assert all(r["duration_sec"] > 0 for r in summary["results"])
+
+
+def test_early_stop_masks_replicas(sweep_base_config, tmp_path, monkeypatch):
+    """Once every replica early-stops, remaining epochs are skipped and the
+    stop is recorded in the message."""
+    with open(sweep_base_config) as f:
+        cfg = yaml.safe_load(f)
+    cfg["train"]["ep"] = 30  # would be slow if the early-stop mask failed
+
+    import vit_tpu.opt.parallel_sweep as ps
+
+    orig_engine = ps._VmapSweepEngine.run
+
+    def patched(self):
+        import vit_tpu.train.optim as o
+
+        orig_init = o.EarlyStopping.__init__
+
+        def tiny_patience(es, patience=100, mode="min", divergence_threshold=None):
+            orig_init(es, patience=1, mode=mode,
+                      divergence_threshold=divergence_threshold)
+
+        o.EarlyStopping.__init__ = tiny_patience
+        try:
+            return orig_engine(self)
+        finally:
+            o.EarlyStopping.__init__ = orig_init
+
+    monkeypatch.setattr(ps._VmapSweepEngine, "run", patched)
+
+    import yaml as _yaml
+    path = str(tmp_path / "es.yaml")
+    with open(path, "w") as f:
+        _yaml.safe_dump(cfg, f)
+    runner = ParallelSweepRunner(
+        path, lr_values=[1e-3], schedulers=["none"],
+        results_dir=str(tmp_path / "runs"), seed=0,
+    )
+    best = runner.run()
+    assert best is not None
+    assert "early-stopped" in (best.message or "")

@@ -77,3 +77,18 @@ def test_predict_proba_cls(tiny_config, tmp_path, monkeypatch):
     np.testing.assert_allclose(proba.sum(-1), 1.0, rtol=1e-5)
     classes = pred.predict(flux)
     np.testing.assert_array_equal(classes, proba.argmax(-1))
+
+
+def test_predict_restores_non_adamw_optimizer(tiny_config, tmp_path, monkeypatch):
+    """Restore template must be built from the config's optimizer: a
+    checkpoint trained with sgd (different opt_state pytree than adamw)
+    previously failed with 'tree structures do not match'."""
+    monkeypatch.setenv("CKPT_DIR", str(tmp_path / "ckpt"))
+    cfg = dict(tiny_config)
+    cfg["train"] = dict(tiny_config["train"], ep=1, batch_size=16, save=True)
+    cfg["opt"] = {"type": "sgd", "lr": 1e-2, "lr_sch": "none"}
+    exp = Experiment(cfg, seed=0)
+    exp.fit()
+    pred = Predictor.from_checkpoint(dict(cfg), ckpt="last", batch_size=16)
+    out = pred.predict(exp.datamodule.val.flux[:8])
+    assert out.shape == (8, 1) and np.isfinite(out).all()

@@ -119,3 +119,31 @@ def test_data_parallel_multi_device(fast_config, monkeypatch, tmp_path):
     assert dict(exp.mesh.shape)["data"] == 8
     metrics = exp.fit()
     assert np.isfinite(metrics["train_loss"])
+
+
+def test_resume_preserves_plateau_state(fast_config, monkeypatch, tmp_path):
+    """--ckpt resume must keep ReduceLROnPlateau reductions: the host-side
+    scheduler state is persisted in ckpt meta and re-seeded on resume
+    (previously the first post-resume validation reset the scale to 1.0)."""
+    monkeypatch.setenv("CKPT_DIR", str(tmp_path / "ckpt"))
+    cfg = dict(fast_config)
+    cfg["train"] = dict(fast_config["train"], ep=4, save=True)
+    # patience 0 + a quickly-flat metric forces scale reductions
+    cfg["opt"] = {"type": "AdamW", "lr": 3e-3, "lr_sch": "plateau",
+                  "factor": 0.5, "patience": 0}
+    exp = Experiment(cfg, seed=0)
+    exp.fit()
+    scale_before = float(exp.state.plateau_scale)
+    meta = exp.ckpt.read_meta()
+    assert "plateau_state" in meta and "early_stop_state" in meta
+    assert meta["plateau_state"]["scale"] == pytest.approx(scale_before)
+
+    cfg2 = dict(cfg)
+    cfg2["train"] = dict(cfg["train"], ep=6)
+    exp2 = Experiment(cfg2, ckpt_path="last", seed=0)
+    exp2.fit()
+    # 2 more epochs with the seeded scheduler: scale can only stay or shrink
+    assert float(exp2.state.plateau_scale) <= scale_before + 1e-9
+    if scale_before < 1.0:
+        # the key regression: pre-interruption reductions were not undone
+        assert float(exp2.state.plateau_scale) < 1.0

@@ -15,7 +15,11 @@ Kernel dispatch (``impl``):
 * ``"flash"`` — fused Pallas flash-attention kernel
   (:mod:`vit_tpu.ops.flash_attention`), O(T) memory; for long sequences
   (stride-1 sweeps reach ~4k tokens).
-* ``"auto"``  — flash on TPU when the shape is worth it, else xla.
+* ``"auto"``  — flash when the shape is worth it, else xla (backend-
+  independent; off-TPU the flash op falls back to identical XLA math).
+  Training with attention-probability dropout always takes the xla path —
+  the fused kernel has no probs to drop, and the reference applies dropout
+  there (`vit_with_rope.py:79-81`).
 
 Softmax always accumulates in fp32 regardless of compute dtype.
 """
@@ -32,18 +36,28 @@ from vit_tpu.models.tokenization import KERNEL_INIT
 __all__ = ["MultiHeadSelfAttention", "select_attn_impl"]
 
 
-def select_attn_impl(impl: str, seq_len: int, head_dim: int) -> str:
-    """Resolve ``auto`` to a concrete kernel for this shape."""
-    if impl != "auto":
-        return impl
-    on_tpu = jax.default_backend() == "tpu"
-    # Measured crossover on v5e: XLA's fused attention wins below ~2k tokens;
-    # the Pallas kernel wins at the stride-1 sweep scale (~4k) — but only
-    # when head_dim isn't dwarfed by the 128-lane padding (d >= 64). Tiny
-    # baseline shapes always take the XLA path.
-    if on_tpu and seq_len >= 2048 and head_dim >= 64:
-        return "flash"
-    return "xla"
+def select_attn_impl(
+    impl: str, seq_len: int, head_dim: int, dropout_active: bool = False
+) -> str:
+    """Resolve ``auto`` to a concrete kernel for this shape.
+
+    The resolution is backend-independent so a config traces the same graph
+    on the CPU test mesh and on TPU (``flash_attention`` itself falls back
+    to identical XLA math off-TPU). When attention-probability dropout is
+    active (training with ``dropout_rate > 0``), flash is overridden to the
+    XLA path: the fused kernel never materializes probabilities, and
+    silently skipping probs dropout would train different math than the
+    reference (`/root/reference/src/models/vit_with_rope.py:79-81`).
+    """
+    if impl == "auto":
+        # Measured crossover on v5e: XLA's fused attention wins below ~2k
+        # tokens; the Pallas kernel wins at the stride-1 sweep scale (~4k) —
+        # but only when head_dim isn't dwarfed by the 128-lane padding
+        # (d >= 64). Tiny baseline shapes always take the XLA path.
+        impl = "flash" if (seq_len >= 2048 and head_dim >= 64) else "xla"
+    if impl == "flash" and dropout_active:
+        return "xla"
+    return impl
 
 
 class MultiHeadSelfAttention(nn.Module):
@@ -98,13 +112,16 @@ class MultiHeadSelfAttention(nn.Module):
             q = apply_rope(q, cos, sin)
             k = apply_rope(k, cos, sin)
 
-        impl = select_attn_impl(self.impl, seq_len, head_dim)
+        dropout_active = self.dropout_rate > 0 and not deterministic
+        impl = select_attn_impl(
+            self.impl, seq_len, head_dim, dropout_active=dropout_active
+        )
         if impl == "flash" and not capture_probs:
             from vit_tpu.ops.flash_attention import flash_attention
 
+            # dropout_active always routes to the XLA branch above, so the
+            # fused kernel only ever runs prob-dropout-free math.
             context = flash_attention(q, k, v)
-            # Flash never materializes probs; dropout on probs is a no-op at
-            # the baseline's eval path and approximated by resid dropout here.
         elif impl in ("xla", "flash"):
             scale = head_dim**-0.5
             scores = jnp.einsum(

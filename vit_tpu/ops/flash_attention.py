@@ -53,6 +53,20 @@ def _round_up(x: int, m: int) -> int:
     return _cdiv(x, m) * m
 
 
+def _fit_block(block: int, t_pad: int) -> int:
+    """Largest multiple of 128 that is <= block and divides t_pad.
+
+    ``t_pad`` is always a multiple of 128, so 128 itself always fits; this
+    guarantees the grid covers every row (a block that does not divide
+    ``t_pad`` would silently leave the tail rows unwritten).
+    """
+    block = max(128, min(block, t_pad))
+    block -= block % 128
+    while t_pad % block:
+        block -= 128
+    return block
+
+
 # ---------------------------------------------------------------------------
 # forward
 # ---------------------------------------------------------------------------
@@ -98,7 +112,8 @@ def _flash_fwd_kernel(
         lse_ref[0] = m_ref[:, :1] + jnp.log(l_final)
 
 
-def _flash_fwd(q, k, v, block_q: int, block_k: int, scale: float, seq_len: int):
+def _flash_fwd(q, k, v, block_q: int, block_k: int, scale: float, seq_len: int,
+               interpret: bool = False):
     """(BH, T, d) x3 -> (o (BH, T, d), lse (BH, T, 1)); T/d pre-padded."""
     bh, t_pad, d = q.shape
     grid = (bh, t_pad // block_q, t_pad // block_k)
@@ -130,6 +145,7 @@ def _flash_fwd(q, k, v, block_q: int, block_k: int, scale: float, seq_len: int):
             bytes_accessed=4 * bh * t_pad * d * q.dtype.itemsize,
             transcendentals=bh * t_pad * t_pad,
         ),
+        interpret=interpret,
     )(q, k, v)
 
 
@@ -206,7 +222,8 @@ def _flash_bwd_dkv_kernel(
         dv_ref[0] = dv_acc[:].astype(dv_ref.dtype)
 
 
-def _flash_bwd(q, k, v, o, lse, do, block_q, block_k, scale, seq_len):
+def _flash_bwd(q, k, v, o, lse, do, block_q, block_k, scale, seq_len,
+               interpret=False):
     bh, t_pad, d = q.shape
     # D_i = sum_d dO_i * O_i  — cheap elementwise reduce in XLA, fp32.
     delta = jnp.sum(
@@ -230,6 +247,7 @@ def _flash_bwd(q, k, v, o, lse, do, block_q, block_k, scale, seq_len):
             bytes_accessed=6 * bh * t_pad * d * q.dtype.itemsize,
             transcendentals=bh * t_pad * t_pad,
         ),
+        interpret=interpret,
     )(q, k, v, do, lse, delta)
 
     # dK/dV: iterate query blocks innermost; q/do/lse/delta indexed by j.
@@ -255,6 +273,7 @@ def _flash_bwd(q, k, v, o, lse, do, block_q, block_k, scale, seq_len):
             bytes_accessed=6 * bh * t_pad * d * q.dtype.itemsize,
             transcendentals=bh * t_pad * t_pad,
         ),
+        interpret=interpret,
     )(q, k, v, do, lse, delta)
     return dq, dk, dv
 
@@ -287,21 +306,23 @@ def _xla_bwd(q, k, v, do, scale, seq_len):
 # ---------------------------------------------------------------------------
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
 def _flash_attention_core(q, k, v, params):
-    block_q, block_k, scale, seq_len = params
-    o, _ = _flash_fwd(q, k, v, block_q, block_k, scale, seq_len)
+    block_q, block_k, scale, seq_len, interpret = params
+    o, _ = _flash_fwd(q, k, v, block_q, block_k, scale, seq_len, interpret)
     return o
 
 
 def _core_fwd(q, k, v, params):
-    block_q, block_k, scale, seq_len = params
-    o, lse = _flash_fwd(q, k, v, block_q, block_k, scale, seq_len)
+    block_q, block_k, scale, seq_len, interpret = params
+    o, lse = _flash_fwd(q, k, v, block_q, block_k, scale, seq_len, interpret)
     return o, (q, k, v, o, lse)
 
 
 def _core_bwd(params, res, g):
-    block_q, block_k, scale, seq_len = params
+    block_q, block_k, scale, seq_len, interpret = params
     q, k, v, o, lse = res
-    return _flash_bwd(q, k, v, o, lse, g, block_q, block_k, scale, seq_len)
+    return _flash_bwd(
+        q, k, v, o, lse, g, block_q, block_k, scale, seq_len, interpret
+    )
 
 
 _flash_attention_core.defvjp(_core_fwd, _core_bwd)
@@ -309,7 +330,7 @@ _flash_attention_core.defvjp(_core_fwd, _core_bwd)
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
 def _xla_attention_core(q, k, v, params):
-    _, _, scale, seq_len = params
+    scale, seq_len = params[2], params[3]
     del seq_len  # unpadded on the XLA path
     return _xla_attention(q, k, v, scale)
 
@@ -319,7 +340,7 @@ def _xla_core_fwd(q, k, v, params):
 
 
 def _xla_core_bwd(params, res, g):
-    _, _, scale, seq_len = params
+    scale, seq_len = params[2], params[3]
     q, k, v = res
     return _xla_bwd(q, k, v, g, scale, seq_len)
 
@@ -333,30 +354,36 @@ def flash_attention(
     v: jnp.ndarray,
     block_q: int = 256,
     block_k: int = 512,
+    interpret: bool = False,
 ) -> jnp.ndarray:
     """Fused attention. ``q, k, v``: (B, H, T, d) -> (B, H, T, d).
 
     Exact (non-approximate) softmax attention with scale ``d**-0.5``;
     differentiable (fused Pallas forward AND backward on TPU; XLA fallback
-    elsewhere).
+    elsewhere). ``interpret=True`` forces the Pallas kernels in interpreter
+    mode so CI (CPU) exercises the real kernel logic, not the fallback.
     """
     b, h, t, d = q.shape
     scale = d**-0.5
-    if jax.default_backend() != "tpu":
+    if jax.default_backend() != "tpu" and not interpret:
         bhq = q.reshape(b * h, t, d)
         out = _xla_attention_core(
             bhq, k.reshape(b * h, t, d), v.reshape(b * h, t, d), (0, 0, scale, t)
         )
         return out.reshape(b, h, t, d)
 
-    block_q = min(block_q, _round_up(t, 128))
-    block_k = min(block_k, _round_up(t, 128))
-    t_pad = _round_up(t, max(block_q, block_k))
+    # Both blocks must divide the padded length or the grid would skip the
+    # tail rows (silently-uninitialized outputs for e.g. t in 257..384).
+    t_pad = _round_up(t, 128)
+    block_q = _fit_block(block_q, t_pad)
+    block_k = _fit_block(block_k, t_pad)
     d_pad = _round_up(d, 128)
 
     def prep(x):
         x = x.reshape(b * h, t, d)
         return jnp.pad(x, ((0, 0), (0, t_pad - t), (0, d_pad - d)))
 
-    out = _flash_attention_core(prep(q), prep(k), prep(v), (block_q, block_k, scale, t))
+    out = _flash_attention_core(
+        prep(q), prep(k), prep(v), (block_q, block_k, scale, t, interpret)
+    )
     return out[:, :t, :d].reshape(b, h, t, d)

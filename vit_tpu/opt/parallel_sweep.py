@@ -21,10 +21,17 @@ controllers), injected into the vmapped optimizer — schedules that differ
 compile covers the whole grid.
 
 Semantics preserved per trial: seed = ``seed + idx`` for init/noise
-streams; per-trial failures (non-finite metrics) surface as
-``status='error'`` without aborting the sweep; best = final-epoch metric
-(the reference reads ``trainer.callback_metrics`` after fit, i.e. the last
-epoch). Shared across replicas (documented delta): the data order — one
+streams; per-replica early stopping (sweep patience 100, reference
+`vit.py:364-365`) freezes a stopped replica's state in-graph via a 0/1
+active mask (and ends the epoch loop once every replica stopped);
+per-trial failures (non-finite metrics, i.e. divergence) surface as
+``status='error'`` without aborting the sweep, and a mid-sweep exception
+marks only the still-active replicas failed while completed results are
+kept (reference `parallel_sweep.py:193-209`); ``duration_sec`` is the
+per-replica wall-clock from sweep start until that replica stopped
+(early-stop/divergence) or the sweep ended; best = the replica's last
+computed metric (the reference reads ``trainer.callback_metrics`` after
+fit). Shared across replicas (documented delta): the data order — one
 shuffle stream feeds all replicas instead of per-trial shuffles.
 """
 
@@ -199,7 +206,7 @@ class _VmapSweepEngine:
         def one_step(state: TrainState, batch, lr):
             rng, noise_rng, dropout_rng = jax.random.split(state.rng, 3)
             x = batch["x"]
-            if noise_level > 0:
+            if noise_level > 0 and "error" in batch:
                 x = x + jax.random.normal(noise_rng, x.shape, x.dtype) * batch["error"] * noise_level
 
             def loss_fn(p):
@@ -217,17 +224,25 @@ class _VmapSweepEngine:
                 loss,
             )
 
-        def replica_epoch(state: TrainState, epoch_data, lr):
-            """One replica's whole epoch: lax.scan over the stacked steps."""
+        def replica_epoch(state: TrainState, epoch_data, lr, active):
+            """One replica's whole epoch: lax.scan over the stacked steps.
+
+            ``active`` (0/1) freezes early-stopped/diverged replicas: the
+            epoch runs (vmap has no per-lane skip) but the state is held —
+            the reference analogue is a finished trial idling its process.
+            """
 
             def body(st, batch):
-                st, loss = one_step(st, batch, lr)
-                return st, loss
+                new_st, loss = one_step(st, batch, lr)
+                held = jax.tree_util.tree_map(
+                    lambda n, o: jnp.where(active > 0, n, o), new_st, st
+                )
+                return held, loss
 
             state, losses = jax.lax.scan(body, state, epoch_data)
             return state, losses
 
-        def all_replicas_epoch(state, data, perm, lrs):
+        def all_replicas_epoch(state, data, perm, lrs, active):
             # One gather for the epoch, shared by every replica.
             epoch_data = {
                 k: jnp.take(v, perm, axis=0).reshape(
@@ -235,7 +250,9 @@ class _VmapSweepEngine:
                 )
                 for k, v in data.items()
             }
-            return jax.vmap(replica_epoch, in_axes=(0, None, 0))(state, epoch_data, lrs)
+            return jax.vmap(replica_epoch, in_axes=(0, None, 0, 0))(
+                state, epoch_data, lrs, active
+            )
 
         # The whole grid trains one full epoch in ONE dispatch: vmap over
         # replicas x scan over steps (the per-step RPC round-trip dominates
@@ -243,7 +260,7 @@ class _VmapSweepEngine:
         vepoch = jax.jit(
             all_replicas_epoch,
             donate_argnums=(0,),
-            in_shardings=(rep_shard, repl, repl, rep_shard),
+            in_shardings=(rep_shard, repl, repl, rep_shard, rep_shard),
             out_shardings=(rep_shard, rep_shard),
         )
         veval = jax.jit(
@@ -283,49 +300,91 @@ class _VmapSweepEngine:
         n_train = len(dm.train)
         val_arrays = dm.val.arrays()
         vbs = min(batch_size, len(dm.val))
-        last_metrics = np.full(R, np.nan, np.float64)
 
-        for epoch in range(max_epochs):
-            # Batcher-equivalent shuffle: permutation seeded by (seed+epoch),
-            # partial final batch cycled from the epoch start.
-            rng_np = np.random.default_rng(self.seed + epoch)
-            order = rng_np.permutation(n_train)
-            total = steps_per_epoch * batch_size
-            if total > len(order):
-                order = np.concatenate([order, order[: total - len(order)]])
-            perm = jax.device_put(np.asarray(order[:total], np.int32), repl)
-            lrs = jax.device_put(jnp.asarray(epoch_lrs(epoch)), rep_shard)
-            state, _losses = vepoch(state, train_data_dev, perm, lrs)
-            # per-replica validation
-            vb = Batcher(val_arrays, vbs, eval_mode=True)
-            logits_all, labels_all = [], []
-            for batch in prefetch_to_device(iter(vb), sharding=repl):
-                logits = veval(state.params, batch)  # (R, B, K)
-                m = np.asarray(jax.device_get(batch["mask"]))
-                logits_all.append(np.asarray(jax.device_get(logits))[:, m])
-                labels_all.append(np.asarray(jax.device_get(batch["label"]))[m])
-            logits_cat = np.concatenate(logits_all, axis=1)  # (R, N, K)
-            labels_cat = np.concatenate(labels_all, axis=0)  # (N, K)
+        # Per-replica host controllers (reference: each trial is an
+        # independent Experiment with sweep patience 100, `vit.py:364-365`).
+        from vit_tpu.train.optim import EarlyStopping
+
+        early = [EarlyStopping(patience=100, mode=mode) for _ in range(R)]
+        last_metrics = np.full(R, np.nan, np.float64)
+        active = np.ones(R, np.float32)
+        statuses = ["ok"] * R
+        messages: List[Optional[str]] = [None] * R
+        durations = np.zeros(R, np.float64)
+
+        def _deactivate(i: int, status: str, message: Optional[str]) -> None:
+            active[i] = 0.0
+            statuses[i] = status
+            messages[i] = message
+            durations[i] = time.perf_counter() - t_start
+
+        try:
+            for epoch in range(max_epochs):
+                # Batcher-equivalent shuffle: permutation seeded by
+                # (seed+epoch), partial final batch cycled from epoch start.
+                rng_np = np.random.default_rng(self.seed + epoch)
+                order = rng_np.permutation(n_train)
+                total = steps_per_epoch * batch_size
+                if total > len(order):
+                    order = np.concatenate([order, order[: total - len(order)]])
+                perm = jax.device_put(np.asarray(order[:total], np.int32), repl)
+                lrs = jax.device_put(jnp.asarray(epoch_lrs(epoch)), rep_shard)
+                active_dev = jax.device_put(jnp.asarray(active), rep_shard)
+                state, _losses = vepoch(state, train_data_dev, perm, lrs, active_dev)
+                # per-replica validation
+                vb = Batcher(val_arrays, vbs, eval_mode=True)
+                logits_all, labels_all = [], []
+                for batch in prefetch_to_device(iter(vb), sharding=repl):
+                    logits = veval(state.params, batch)  # (R, B, K)
+                    m = np.asarray(jax.device_get(batch["mask"]))
+                    logits_all.append(np.asarray(jax.device_get(logits))[:, m])
+                    labels_all.append(np.asarray(jax.device_get(batch["label"]))[m])
+                logits_cat = np.concatenate(logits_all, axis=1)  # (R, N, K)
+                labels_cat = np.concatenate(labels_all, axis=0)  # (N, K)
+                for i in range(R):
+                    if active[i] == 0.0:
+                        continue  # frozen state: metric cannot change
+                    if task == "cls":
+                        m = classification_metrics(logits_cat[i], labels_cat)
+                    else:
+                        m = regression_metrics(logits_cat[i], labels_cat)
+                    last_metrics[i] = m.get(metric_key, np.nan)
+                    if not math.isfinite(float(last_metrics[i])):
+                        _deactivate(i, "error", "non-finite metric (diverged)")
+                        continue
+                    if i in plateaus:
+                        plateaus[i].step(float(last_metrics[i]))
+                    if early[i].step(float(last_metrics[i])):
+                        _deactivate(i, "ok", f"early-stopped at epoch {epoch}")
+                finite = np.where(np.isfinite(last_metrics), last_metrics, np.nan)
+                if not np.all(np.isnan(finite)):
+                    best_i = int(
+                        np.nanargmin(finite) if mode == "min" else np.nanargmax(finite)
+                    )
+                    print(
+                        f"[sweep] epoch {epoch}: {self.metric_name} "
+                        f"min={np.nanmin(finite):.5f} max={np.nanmax(finite):.5f} "
+                        f"best=replica {best_i} (lr={self.configs[best_i].lr:.1e}) "
+                        f"active={int(active.sum())}/{R}",
+                        flush=True,
+                    )
+                if not active.any():
+                    print(f"[sweep] all replicas stopped at epoch {epoch}")
+                    break
+        except Exception as e:  # noqa: BLE001 — per-trial isolation
+            # Completed/stopped replicas keep their results; only the
+            # still-active ones become errors (reference isolates any
+            # per-trial exception without killing the pool).
+            print(f"[sweep] epoch dispatch failed: {e}")
             for i in range(R):
-                if task == "cls":
-                    m = classification_metrics(logits_cat[i], labels_cat)
-                else:
-                    m = regression_metrics(logits_cat[i], labels_cat)
-                last_metrics[i] = m.get(metric_key, np.nan)
-                if i in plateaus:
-                    plateaus[i].step(float(last_metrics[i]))
-            best_i = int(np.nanargmin(last_metrics) if mode == "min" else np.nanargmax(last_metrics))
-            print(
-                f"[sweep] epoch {epoch}: {self.metric_name} "
-                f"min={np.nanmin(last_metrics):.5f} max={np.nanmax(last_metrics):.5f} "
-                f"best=replica {best_i} (lr={self.configs[best_i].lr:.1e})",
-                flush=True,
-            )
+                if active[i] > 0:
+                    _deactivate(i, "error", f"{type(e).__name__}: {e}")
 
         # Optional per-replica test evaluation (reference --run-test; test
-        # metrics are reported, never used for selection).
-        test_msgs = [None] * R
-        if not self.skip_test:
+        # metrics are reported, never used for selection). Diverged replicas
+        # are skipped — their params are NaN.
+        test_msgs: List[Optional[str]] = [None] * R
+        if not self.skip_test and any(s == "ok" for s in statuses):
             dm.setup("test")
             if dm.test is not None and len(dm.test) > 0:
                 tb = Batcher(dm.test.arrays(), min(batch_size, len(dm.test)), eval_mode=True)
@@ -338,6 +397,8 @@ class _VmapSweepEngine:
                 tl = np.concatenate(logits_all, axis=1)
                 tlab = np.concatenate(labels_all, axis=0)
                 for i in range(R):
+                    if statuses[i] != "ok":
+                        continue
                     mm = (classification_metrics(tl[i], tlab) if task == "cls"
                           else regression_metrics(tl[i], tlab))
                     test_msgs[i] = f"test_{metric_key}={mm.get(metric_key, float('nan')):.6f}"
@@ -346,14 +407,17 @@ class _VmapSweepEngine:
         results = []
         for i, c in enumerate(self.configs):
             v = float(last_metrics[i])
-            ok = math.isfinite(v)
+            ok = statuses[i] == "ok" and math.isfinite(v)
+            msg = messages[i]
+            if ok and test_msgs[i]:
+                msg = f"{msg}; {test_msgs[i]}" if msg else test_msgs[i]
             results.append(
                 SweepResult(
                     config=c,
-                    metric=v if ok else None,
-                    duration_sec=wall,
+                    metric=v if math.isfinite(v) else None,
+                    duration_sec=float(durations[i]) if durations[i] > 0 else wall,
                     status="ok" if ok else "error",
-                    message=(None if ok else "non-finite metric (diverged)") or test_msgs[i],
+                    message=msg,
                 )
             )
         return results

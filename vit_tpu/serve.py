@@ -98,7 +98,10 @@ class Predictor:
             from vit_tpu.train.loop import TrainState
             from vit_tpu.train.optim import OptSpec, build_optimizer
 
-            spec = OptSpec(lr=1e-3, opt_type="adamw")
+            # The restore template's opt_state pytree must match what
+            # training used — build the optimizer from the SAME config
+            # (an adamw template cannot restore e.g. an sgd checkpoint).
+            spec = OptSpec.from_config(cfg, steps_per_epoch=1)
             tx = build_optimizer(spec)
             state_t = TrainState(
                 step=jnp.zeros((), jnp.int32),

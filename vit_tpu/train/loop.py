@@ -593,6 +593,19 @@ class Experiment:
                 "divergence_threshold"
             ),
         )
+        if self.ckpt_path:
+            # Resume host-side scheduler state: the in-graph plateau_scale is
+            # restored with the TrainState, but the host PlateauScheduler /
+            # EarlyStopping counters live in ckpt meta (torch restores
+            # ReduceLROnPlateau state on resume; without this the first
+            # post-resume validation would reset the scale to 1.0).
+            meta = self.ckpt.read_meta()
+            if plateau is not None:
+                plateau.scale = float(jax.device_get(self.state.plateau_scale))
+                if isinstance(meta.get("plateau_state"), dict):
+                    plateau.load_state_dict(meta["plateau_state"])
+            if isinstance(meta.get("early_stop_state"), dict):
+                early.load_state_dict(meta["early_stop_state"])
 
         batcher = Batcher(
             train_ds.arrays(),
@@ -717,9 +730,14 @@ class Experiment:
                             epoch_metrics.update(cka.on_validation_epoch(epoch, diag))
                     except Exception as e:  # diagnostics never fail training
                         print(f"[viz] epoch diagnostics skipped: {e}")
-                self.ckpt.on_epoch_end(self.state, epoch, mon, config=self.config, extra=ckpt_extra)
+                stop = early.step(mon)
+                extra = dict(ckpt_extra or {})
+                extra["early_stop_state"] = early.state_dict()
+                if plateau is not None:
+                    extra["plateau_state"] = plateau.state_dict()
+                self.ckpt.on_epoch_end(self.state, epoch, mon, config=self.config, extra=extra)
                 self.logger.log_epoch(epoch, epoch_metrics, step=int(self.state.step))
-                if early.step(mon):
+                if stop:
                     print(f"[experiment] early stopping at epoch {epoch}")
                     break
             else:

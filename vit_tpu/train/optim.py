@@ -287,6 +287,16 @@ class PlateauScheduler:
                 print(f"[plateau] reducing LR scale to {self.scale:.3e}")
         return self.scale
 
+    def state_dict(self) -> dict:
+        """Persisted in ckpt meta so ``--ckpt`` resume keeps LR reductions
+        (torch restores ReduceLROnPlateau state on resume)."""
+        return {"best": self.best, "num_bad": self.num_bad, "scale": self.scale}
+
+    def load_state_dict(self, d: dict) -> None:
+        self.best = d.get("best")
+        self.num_bad = int(d.get("num_bad", 0))
+        self.scale = float(d.get("scale", 1.0))
+
 
 class EarlyStopping:
     """Host-side early stopping on the monitored metric.
@@ -332,3 +342,10 @@ class EarlyStopping:
         else:
             self.num_bad += 1
         return self.num_bad >= self.patience
+
+    def state_dict(self) -> dict:
+        return {"best": self.best, "num_bad": self.num_bad}
+
+    def load_state_dict(self, d: dict) -> None:
+        self.best = d.get("best")
+        self.num_bad = int(d.get("num_bad", 0))
