@@ -113,7 +113,8 @@ def test_specvit_capture_intermediates():
     _, state = model.apply(variables, x, capture=True, mutable=["intermediates"])
     inter = state["intermediates"]
     probs = inter["encoder"]["layer_0"]["attention"]["attention_probs"][0]
-    assert probs.shape == (2, 2, cfg.seq_len, cfg.seq_len)
+    # sown batch-mean on device (H, T, T): memory discipline at long T
+    assert probs.shape == (2, cfg.seq_len, cfg.seq_len)
     np.testing.assert_allclose(np.asarray(probs.sum(-1)), 1.0, rtol=1e-5)
     assert "cls_embedding" in inter
 

@@ -129,11 +129,13 @@ def test_experiment_viz_integration(tiny_config, tmp_path, monkeypatch):
 
 
 def test_extract_diagnostics_structure(tiny_config):
-    """The capture eval returns the documented intermediate structure."""
+    """Capture -> on-device reduction -> host structure (attention probs are
+    batch-mean on device; MLP activations are stats + a sampled vector)."""
     import jax
     import jax.numpy as jnp
 
     from vit_tpu.models.builder import get_model
+    from vit_tpu.viz.diagnostics import reduce_intermediates
 
     bundle = get_model(dict(tiny_config))
     x = jnp.ones((4, 512))
@@ -141,10 +143,71 @@ def test_extract_diagnostics_structure(tiny_config):
     logits, state = bundle.module.apply(
         variables, x, capture=True, mutable=["intermediates"]
     )
-    diag = extract_diagnostics(
-        jax.device_get(state["intermediates"]), bundle.vit_config.num_hidden_layers
+    reduced = reduce_intermediates(
+        state["intermediates"], bundle.vit_config.num_hidden_layers, sample_rate=0.15
     )
+    diag = extract_diagnostics(jax.device_get(reduced))
     assert len(diag["attn"]) == 2
     assert diag["attn"][0].shape == (2, bundle.vit_config.seq_len, bundle.vit_config.seq_len)
     assert diag["cls_embedding"].shape == (4, 32)
     assert set(diag["mlp"]) == {"layer_0", "layer_1"}
+    stats = diag["mlp"]["layer_0"]
+    assert {"mean", "std", "sparsity", "dead_frac", "sat_frac", "sample"} <= set(stats)
+
+
+def test_sample_rate_changes_transferred_bytes(tiny_config):
+    """viz.sample_rate provably scales the bytes crossing to host."""
+    import jax
+    import jax.numpy as jnp
+
+    from vit_tpu.models.builder import get_model
+    from vit_tpu.viz.diagnostics import reduce_intermediates
+
+    bundle = get_model(dict(tiny_config))
+    x = jnp.ones((4, 512))
+    variables = bundle.module.init(jax.random.PRNGKey(0), x)
+    _, state = bundle.module.apply(variables, x, capture=True, mutable=["intermediates"])
+    small = reduce_intermediates(state["intermediates"], 2, sample_rate=0.05)
+    large = reduce_intermediates(state["intermediates"], 2, sample_rate=0.5)
+    n_small = small["mlp"]["layer_0"]["sample"].size
+    n_large = large["mlp"]["layer_0"]["sample"].size
+    assert n_small < n_large
+    assert n_large == pytest.approx(10 * n_small, rel=0.25)
+
+
+def test_capture_batch_cap_token_scaling():
+    """4k-token configs are capped far below 129-token ones for one budget."""
+    from vit_tpu.viz.diagnostics import capture_batch_cap
+
+    short = capture_batch_cap(seq_len=129, num_heads=2, intermediate_size=128)
+    long = capture_batch_cap(seq_len=4065, num_heads=2, intermediate_size=128)
+    assert short > long >= 1
+    # stride-1 capture at the default 512 MB budget stays in single-GB range:
+    # cap * per-sample bytes <= budget
+    per_sample = 4 * (2 * 4065 * 4065 + 4065 * 128)
+    assert long * per_sample <= 512 * 1024**2
+
+
+def test_step_frequency_viz(tiny_config, tmp_path, monkeypatch):
+    """viz.log_every_n_steps captures diagnostics mid-epoch (per-step path)."""
+    from vit_tpu.train.loop import Experiment
+
+    monkeypatch.setenv("CKPT_DIR", str(tmp_path / "ckpt"))
+    cfg = dict(tiny_config)
+    cfg["train"] = dict(tiny_config["train"], ep=1, batch_size=16,
+                        fused_epoch=False)  # 96 samples -> 6 steps
+    cfg["opt"] = {"type": "AdamW", "lr": 1e-3, "lr_sch": "none"}
+    cfg["viz"] = {
+        "enable": True,
+        "save_dir": str(tmp_path / "viz"),
+        "log_every_n_steps": 3,
+        "num_viz_samples": 8,
+        "embedding_method": "pca",
+        "compute_cka": False,
+        "gif_duration": 100,
+    }
+    exp = Experiment(cfg, seed=0)
+    exp.fit()
+    # steps 3 and 6 trigger captures
+    gif_dir = tmp_path / "viz" / exp.bundle.model_name
+    assert (gif_dir / "distribution.gif").exists()

@@ -129,7 +129,11 @@ class MultiHeadSelfAttention(nn.Module):
             )
             probs = jax.nn.softmax(scores * scale, axis=-1)
             if capture_probs:
-                self.sow("intermediates", "attention_probs", probs)
+                # Batch-mean on device (H, T, T): the reference's attention
+                # hooks also store batch-mean weights (`viz_callback.py:220`),
+                # and transferring full (B, H, T, T) tensors to host breaks
+                # memory discipline at stride-1 (~4k tokens).
+                self.sow("intermediates", "attention_probs", probs.mean(axis=0))
             probs = probs.astype(self.dtype)
             probs = nn.Dropout(rate=self.dropout_rate, name="attn_dropout")(
                 probs, deterministic=deterministic

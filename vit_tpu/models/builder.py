@@ -283,6 +283,66 @@ def _build_preprocessor(
     raise ValueError(f"Unknown preprocessor type: '{preproc_type}'")
 
 
+def _get_image_pca_model(
+    config: dict, warmup_cfg: dict, loss_name: str, preproc_type
+) -> ModelBundle:
+    """Image ViT with patch-level PCA projection in front of the embed.
+
+    Config surface: ``warmup.preprocessor: pca`` + ``warmup.cov_path``
+    pointing at a patch-PCA artifact (``prepca.compute_pca`` /
+    ``compute_patch_pca_images`` schema), optional ``warmup.r`` rank cap and
+    the usual ``freeze_epochs``.
+    """
+    from vit_tpu.models.preprocessor import PatchPCAProjector
+    from vit_tpu.models.vit import SpecViT
+    from vit_tpu.utils import load_patch_pca_stats
+
+    kind = str(preproc_type).lower()
+    if kind not in ("pca", "patch_pca"):
+        raise ValueError(
+            f"Image models support preprocessor 'pca' (patch-level); got '{preproc_type}'"
+        )
+    path = warmup_cfg.get("pca_path") or warmup_cfg.get("cov_path")
+    if path is None:
+        raise ValueError("image patch-PCA requires 'cov_path' (or 'pca_path') in warmup config")
+    stats = load_patch_pca_stats(path)
+    vit_config = get_vit_config(config)
+
+    patch_dim = vit_config.patch_size**2 * vit_config.num_channels
+    basis = stats["components"]
+    if basis.shape[0] != patch_dim:
+        raise ValueError(
+            f"Mismatch: PCA basis dimension {basis.shape[0]} != patch dim "
+            f"{patch_dim} ({vit_config.patch_size}x{vit_config.patch_size}"
+            f"x{vit_config.num_channels})"
+        )
+    r = warmup_cfg.get("r")
+    r = int(r) if r is not None else int(basis.shape[1])
+    freeze_epochs = int(warmup_cfg.get("freeze_epochs", 0) or 0)
+    fz = _get_freeze_suffix(freeze_epochs)
+
+    preprocessor = PatchPCAProjector(
+        patch_size=vit_config.patch_size,
+        num_channels=vit_config.num_channels,
+        basis=basis[:, :r],
+        mean=stats.get("mean"),
+        name="preprocessor",
+    )
+    module = SpecViT(cfg=vit_config, preprocessor=preprocessor)
+    name = build_model_name(vit_config, f"PCAp{r}_fz{fz}_ViT", full_config=config)
+    desc = f"patch-level PCA, r={r}/{basis.shape[1]}, patch_dim={patch_dim}"
+    print(f"[builder] Created {desc} preprocessor -> {name}")
+    return ModelBundle(
+        module,
+        vit_config,
+        name,
+        loss_name,
+        freeze_epochs=freeze_epochs,
+        has_preprocessor=True,
+        preprocessor_desc=desc,
+    )
+
+
 def get_model(config: dict) -> ModelBundle:
     """Build the model (and optional preprocessor) from the full config dict.
 
@@ -306,6 +366,16 @@ def get_model(config: dict) -> ModelBundle:
         module = SpecViT(cfg=vit_config)
         name = build_model_name(vit_config, "ViT", full_config=config)
         return ModelBundle(module, vit_config, name, loss_name)
+
+    # Image family: patch-level PCA projection (BASELINE config 2 — the
+    # reference computed patch PCA, `prepca/pipeline.py:116-159`, but never
+    # wired it into a 2-D model; here it prefills PatchPCAProjector).
+    input_kind = str((config.get("model", {}) or {}).get("input_kind", "")).lower()
+    preset = IMAGE_VIT_PRESETS.get(
+        str((config.get("model", {}) or {}).get("name", "")).lower()
+    )
+    if input_kind == "image" or preset is not None:
+        return _get_image_pca_model(config, warmup_cfg, loss_name, preproc_type)
 
     cov_path = warmup_cfg.get("cov_path")
     if cov_path is None:

@@ -39,6 +39,7 @@ __all__ = [
     "compute_zca_matrix",
     "compute_pca_matrix",
     "LinearPreprocessor",
+    "PatchPCAProjector",
     "PrefilledAttention",
 ]
 
@@ -113,6 +114,57 @@ class LinearPreprocessor(nn.Module):
         if self.bias is not None:
             b = self.param("bias", _constant_init(self.bias), (out_dim,))
             y = y + b
+        return y
+
+
+class PatchPCAProjector(nn.Module):
+    """Patch-level PCA projection for image inputs (the rebuild's wiring of
+    the reference's patch PCA, `/root/reference/src/prepca/pipeline.py:116-159`,
+    which existed there but was never connected to a 2-D model).
+
+    ``(B, H, W, C) -> (B, N, r)``: extract non-overlapping ``P x P x C``
+    patches, center with the precomputed patch mean, and project onto the
+    top-``r`` PCA basis via a prefilled kernel (bias = ``-mean @ V_r``).
+    The downstream embedding layer linearly maps the r PCA coefficients to
+    ``hidden_size``. Parameters live under the ``preprocessor`` scope so the
+    ``warmup.freeze_epochs`` schedule applies unchanged.
+    """
+
+    patch_size: int
+    num_channels: int
+    basis: np.ndarray  # (patch_dim, r) PCA components, columns = directions
+    mean: Optional[np.ndarray] = None  # (patch_dim,)
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        if x.ndim != 4:
+            raise ValueError(f"PatchPCAProjector expects (B, H, W, C), got {x.shape}")
+        if x.shape[1] == self.num_channels and x.shape[-1] != self.num_channels:
+            x = jnp.transpose(x, (0, 2, 3, 1))  # NCHW -> NHWC (torch parity)
+        b, hgt, wid, c = x.shape
+        p = self.patch_size
+        if hgt % p or wid % p or c != self.num_channels:
+            raise ValueError(
+                f"image {x.shape[1:]} not tileable by patch {p} x {p} x {self.num_channels}"
+            )
+        basis = np.asarray(self.basis, np.float32)  # (patch_dim, r)
+        patch_dim = p * p * c
+        if basis.shape[0] != patch_dim:
+            raise ValueError(
+                f"PCA basis rows {basis.shape[0]} != patch dim {patch_dim} "
+                f"({p}x{p}x{c})"
+            )
+        # (B, H/P, P, W/P, P, C) -> (B, N, P*P*C); flat layout row-major over
+        # (P, P, C) — matches compute_patch_pca_images' patch flattening.
+        patches = x.reshape(b, hgt // p, p, wid // p, p, c)
+        patches = patches.transpose(0, 1, 3, 2, 4, 5).reshape(b, -1, patch_dim)
+        kernel = self.param("kernel", _constant_init(basis), basis.shape)
+        y = jnp.dot(
+            patches.astype(jnp.float32), kernel, preferred_element_type=jnp.float32
+        )
+        if self.mean is not None:
+            bias = -(np.asarray(self.mean, np.float32) @ basis)
+            y = y + self.param("bias", _constant_init(bias), bias.shape)
         return y
 
 

@@ -113,14 +113,24 @@ class ImageEmbeddings(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
         cfg = self.cfg
-        tokens = Patch2DTokenizer(
-            image_size=cfg.image_size,
-            patch_size=cfg.patch_size,
-            hidden_size=cfg.hidden_size,
-            num_channels=cfg.num_channels,
-            dtype=cfg.dtype,
-            name="patch_embeddings",
-        )(x)
+        if x.ndim == 3:
+            # Pre-tokenized patch features (B, N, F) — e.g. the patch-PCA
+            # preprocessor's output; embed each patch's coefficients linearly.
+            tokens = nn.Dense(
+                cfg.hidden_size,
+                dtype=cfg.dtype,
+                kernel_init=KERNEL_INIT,
+                name="patch_embeddings",
+            )(x.astype(cfg.dtype))
+        else:
+            tokens = Patch2DTokenizer(
+                image_size=cfg.image_size,
+                patch_size=cfg.patch_size,
+                hidden_size=cfg.hidden_size,
+                num_channels=cfg.num_channels,
+                dtype=cfg.dtype,
+                name="patch_embeddings",
+            )(x)
         batch = tokens.shape[0]
         cls = self.param(
             "cls_token", nn.initializers.normal(stddev=1.0), (1, 1, cfg.hidden_size)

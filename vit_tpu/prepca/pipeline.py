@@ -20,6 +20,7 @@ from vit_tpu.data.hdf5 import load_spectra
 __all__ = [
     "load_spectra",
     "compute_pca",
+    "compute_patch_pca_images",
     "KernelPCAState",
     "compute_kernel_pca",
     "ZCAWhitening",
@@ -86,6 +87,62 @@ def compute_pca(
         "explained_variance_ratio": evr,
         "patch_size": np.asarray(patch_size),
         "step": np.asarray(step),
+        "num_patches": np.asarray(patches.shape[0]),
+    }
+
+
+def compute_patch_pca_images(
+    images: np.ndarray,
+    *,
+    patch_size: int,
+    limit: Optional[int] = None,
+) -> Dict[str, np.ndarray]:
+    """Patch-level PCA over non-overlapping ``P x P x C`` image patches.
+
+    2-D counterpart of :func:`compute_pca` (the reference computed patch PCA
+    for 1-D spectra only, `pipeline.py:116-159`); produces the same artifact
+    schema with ``components`` of shape ``(P*P*C, P*P*C)`` so the model
+    builder's image-PCA path (``warmup.preprocessor: pca`` with
+    ``input_kind: image``) can prefill :class:`PatchPCAProjector`.
+
+    ``images``: (N, H, W, C) float or uint8 (uint8 scaled to [0, 1]); patch
+    flattening is row-major over (P, P, C) — the projector matches.
+    """
+    images = _as_np(images)
+    if images.ndim != 4:
+        raise ValueError(f"Expected (N, H, W, C) images, got {images.shape}")
+    if limit is not None and 0 < limit < images.shape[0]:
+        images = images[:limit]
+    if images.dtype == np.uint8:
+        images = images.astype(np.float32) / 255.0
+    images = images.astype(np.float32)
+    n, hgt, wid, c = images.shape
+    p = int(patch_size)
+    if hgt % p or wid % p:
+        raise ValueError(f"image {hgt}x{wid} not tileable by patch {p}")
+    patches = images.reshape(n, hgt // p, p, wid // p, p, c)
+    patches = patches.transpose(0, 1, 3, 2, 4, 5).reshape(-1, p * p * c)
+
+    mean = patches.mean(axis=0)
+    centered = (patches - mean).astype(np.float64)
+    # Eigendecomposition of the patch covariance (cheaper than SVD of the
+    # (N*patches, patch_dim) matrix when N is large; patch_dim <= ~768).
+    cov = centered.T @ centered / max(1, centered.shape[0] - 1)
+    eigvals, eigvecs = np.linalg.eigh(cov)
+    order = np.argsort(eigvals)[::-1]
+    eigvals = np.clip(eigvals[order], 0.0, None)
+    V = eigvecs[:, order].astype(np.float32)
+    total = float(eigvals.sum())
+    evr = (eigvals / total if total > 0 else eigvals).astype(np.float32)
+    return {
+        "components": V,  # (patch_dim, patch_dim), columns = directions
+        "singular_values": np.sqrt(
+            eigvals * max(1, centered.shape[0] - 1)
+        ).astype(np.float32),
+        "mean": mean.astype(np.float32),
+        "explained_variance_ratio": evr,
+        "patch_size": np.asarray(p),
+        "num_channels": np.asarray(c),
         "num_patches": np.asarray(patches.shape[0]),
     }
 

@@ -27,6 +27,9 @@ def main() -> None:
     ap.add_argument("--data", type=str, required=False,
                     default=os.environ.get("TRAIN_DIR", "./data") + "/dataset.h5",
                     help="Path to HDF5 with [N, L] spectra")
+    ap.add_argument("--images", type=str, default=None,
+                    help="npz with {images: NHWC} -> patch-level image PCA "
+                         "(P x P x C patches) instead of 1-D spectra windows")
     ap.add_argument("--patch-size", type=int, required=True, help="Patch length (D)")
     ap.add_argument("--step", type=int, default=None,
                     help="Stride between windows (default=patch-size)")
@@ -39,12 +42,25 @@ def main() -> None:
     args = ap.parse_args()
 
     seed_everything(args.seed)
-    flux = load_spectra(args.data, args.limit)["flux"]
-    print(f"[PCA] Loaded flux: {flux.shape}")
+    if args.images:
+        from vit_tpu.prepca.pipeline import compute_patch_pca_images
 
-    result = compute_pca(flux, patch_size=args.patch_size, step=args.step, limit=args.limit)
+        images = np.load(args.images)["images"]
+        print(f"[PCA] Loaded images: {images.shape}")
+        result = compute_patch_pca_images(
+            images, patch_size=args.patch_size, limit=args.limit
+        )
+        result.setdefault("scores", np.zeros((0,), np.float32))
+        result.setdefault("step", result["patch_size"])
+        step = int(result["patch_size"])
+    else:
+        flux = load_spectra(args.data, args.limit)["flux"]
+        print(f"[PCA] Loaded flux: {flux.shape}")
+        result = compute_pca(
+            flux, patch_size=args.patch_size, step=args.step, limit=args.limit
+        )
+        step = int(result["step"])
     patch_size = int(result["patch_size"])
-    step = int(result["step"])
 
     out_name = args.out or f"pca_patch_{patch_size}_s{step}.npz"
     out_path = os.path.join(os.environ.get("PCA_DIR", "./data/pca"), out_name)

@@ -76,16 +76,17 @@ class Predictor:
             default_ckpt_dir(), bundle.model_name, enabled=True
         ).read_meta()
 
-        # Template params (raw input dim: eigvec rows for preprocessor models).
-        in_dim = cfg["model"]["image_size"]
-        if bundle.has_preprocessor:
-            from vit_tpu.utils import load_cov_stats
-
-            in_dim = int(load_cov_stats(cfg["warmup"]["cov_path"])["eigvecs"].shape[0])
+        # Template params (raw input dim: eigvec rows for preprocessor models;
+        # image models always take raw NHWC regardless of patch-PCA).
         vc = bundle.vit_config
         if vc.input_kind == "image":
             dummy = jnp.zeros((1, vc.image_size, vc.image_size, vc.num_channels))
         else:
+            in_dim = cfg["model"]["image_size"]
+            if bundle.has_preprocessor:
+                from vit_tpu.utils import load_cov_stats
+
+                in_dim = int(load_cov_stats(cfg["warmup"]["cov_path"])["eigvecs"].shape[0])
             dummy = jnp.zeros((1, in_dim))
         template = bundle.module.init(jax.random.PRNGKey(0), dummy)["params"]
 

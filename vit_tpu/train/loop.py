@@ -449,30 +449,54 @@ class Experiment:
     def _run_capture_eval(self, dataset, num_samples: int):
         """Eval with diagnostics captured (attention probs, activations,
         CLS states) via the intermediates collection — the jit-safe
-        replacement for the reference's forward hooks."""
+        replacement for the reference's forward hooks.
+
+        Memory discipline happens ON DEVICE: attention probs are sown
+        batch-mean, MLP activations are reduced to stats + a
+        ``viz.sample_rate`` subsample inside the same jit, and the capture
+        batch is capped by token count so stride-1 (~4k token) configs fit
+        in HBM (budget: ``viz.capture_memory_mb``, default 512)."""
         import numpy as _np
 
+        from vit_tpu.viz.diagnostics import (
+            capture_batch_cap,
+            extract_diagnostics,
+            reduce_intermediates,
+        )
+
+        vcfg = self.bundle.vit_config
+        viz_cfg = self.config.get("viz", {}) or {}
         if self._capture_step is None:
             module = self.bundle.module
+            sample_rate = float(viz_cfg.get("sample_rate", 0.15))
+            num_layers = vcfg.num_hidden_layers
 
             def capture_step(params, batch):
-                return module.apply(
+                logits, state = module.apply(
                     {"params": params},
                     batch["x"],
                     deterministic=True,
                     capture=True,
                     mutable=["intermediates"],
                 )
+                reduced = reduce_intermediates(
+                    state["intermediates"], num_layers, sample_rate
+                )
+                return logits, reduced
 
             self._capture_step = jax.jit(capture_step)
-        n = min(num_samples, len(dataset))
+        budget = int(float(viz_cfg.get("capture_memory_mb", 512)) * 1024**2)
+        cap = capture_batch_cap(
+            vcfg.seq_len, vcfg.num_attention_heads, vcfg.intermediate_size, budget
+        )
+        n = min(num_samples, len(dataset), cap)
+        if n < min(num_samples, len(dataset)):
+            print(f"[viz] capture batch capped at {n} by token count "
+                  f"(T={vcfg.seq_len}, budget={budget // 1024**2} MB)")
         arrays = {k: v[:n] for k, v in dataset.arrays().items()}
         batch = jax.device_put(arrays, self.batch_shard if n % self.mesh.shape.get("data", 1) == 0 else self.repl_shard)
-        logits, state = self._capture_step(self.state.params, batch)
-        from vit_tpu.viz.diagnostics import extract_diagnostics
-
-        inter = jax.device_get(state["intermediates"])
-        diag = extract_diagnostics(inter, self.bundle.vit_config.num_hidden_layers)
+        logits, reduced = self._capture_step(self.state.params, batch)
+        diag = extract_diagnostics(jax.device_get(reduced))
         return (
             _np.asarray(jax.device_get(logits)),
             _np.asarray(arrays.get("label")),
@@ -635,13 +659,19 @@ class Experiment:
         from vit_tpu.viz.callback_factory import create_viz_callbacks
 
         denorm = train_ds.denormalize if isinstance(train_ds, _Reg) else None
-        viz, cka, viz_every = create_viz_callbacks(
+        viz, cka, viz_every, viz_every_steps = create_viz_callbacks(
             self.config.get("viz"),
             save_enabled=self.save,
             model_name=self.bundle.model_name,
             param_names=parse_param_list((self.config.get("data", {}) or {}).get("param")),
             denormalize=denorm,
         )
+        if viz is not None and viz_every_steps > 0 and use_fused:
+            # Fused mode runs a whole epoch per dispatch; honor the step
+            # frequency at the nearest epoch boundary.
+            viz_every = max(1, round(viz_every_steps / steps_per_epoch))
+            viz_every_steps = 0
+            print(f"[viz] fused-epoch mode: log_every_n_steps -> every {viz_every} epoch(s)")
         num_viz_samples = int((self.config.get("viz", {}) or {}).get("num_viz_samples", 256))
 
         for epoch in range(start_epoch, max_epochs):
@@ -687,6 +717,22 @@ class Experiment:
                     self.state, m = train_step(self.state, batch)
                     losses.append(m["loss"])
                     last_lr = m["lr"]
+                    if (
+                        viz is not None
+                        and viz_every_steps > 0
+                        and has_val
+                        and (epoch * steps_per_epoch + i + 1) % viz_every_steps == 0
+                    ):
+                        # Step-frequency diagnostics (reference
+                        # callback_factory.py:18-84), labeled by global step.
+                        try:
+                            gstep = epoch * steps_per_epoch + i + 1
+                            v_logits, v_labels, diag = self._run_capture_eval(
+                                self.datamodule.val, num_viz_samples
+                            )
+                            viz.on_validation_epoch(gstep, v_logits, v_labels, diag)
+                        except Exception as e:
+                            print(f"[viz] step diagnostics skipped: {e}")
                     if self.debug and i == 0:
                         break
                 n_steps = len(losses)
@@ -720,7 +766,7 @@ class Experiment:
                     self.state = self.state.replace(
                         plateau_scale=self._scalar(plateau.step(mon))
                     )
-                if viz is not None and epoch % viz_every == 0:
+                if viz is not None and viz_every_steps == 0 and epoch % viz_every == 0:
                     try:
                         v_logits, v_labels, diag = self._run_capture_eval(
                             self.datamodule.val, num_viz_samples

@@ -79,6 +79,33 @@ def clear_cov_cache() -> None:
     _cov_cache.clear()
 
 
+def load_patch_pca_stats(path: str) -> dict:
+    """Load a patch-PCA artifact ``{components|eigvecs|V, mean, ...}``.
+
+    Accepts the schema written by ``prepca.compute_pca`` /
+    ``compute_patch_pca_images`` (``.npz`` native or ``.pt`` torch interop,
+    reference ``$PCA_DIR/pca_patch_{P}_s{S}.pt`` files). The basis is
+    normalized to the ``components`` key, (patch_dim, k) with columns as
+    principal directions.
+    """
+    resolved = os.path.realpath(os.path.expanduser(os.path.expandvars(str(path))))
+    if not os.path.exists(resolved):
+        raise FileNotFoundError(f"Patch-PCA stats file not found: {resolved}")
+    stats = {k: _to_numpy(v) for k, v in _load_stats_file(resolved).items()}
+    basis = None
+    for key in ("components", "eigvecs", "V"):
+        if key in stats:
+            basis = stats[key]
+            break
+    if basis is None:
+        raise KeyError(
+            f"Patch-PCA stats at {resolved} need one of components/eigvecs/V; "
+            f"found {sorted(stats.keys())}"
+        )
+    stats["components"] = np.asarray(basis, np.float32)
+    return stats
+
+
 def save_cov_stats(stats: dict, path: str) -> str:
     """Save covariance statistics; ``.npz`` native, ``.pt`` for torch interop."""
     os.makedirs(os.path.dirname(os.path.abspath(path)) or ".", exist_ok=True)

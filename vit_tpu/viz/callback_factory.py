@@ -21,12 +21,20 @@ def create_viz_callbacks(
     model_name: str = "model",
     param_names: Optional[list] = None,
     denormalize=None,
-) -> Tuple[Optional[VizDiagnostics], Optional[CKAMonitor], int]:
-    """Returns (viz, cka, log_every_n_epochs); (None, None, 0) when disabled."""
+) -> Tuple[Optional[VizDiagnostics], Optional[CKAMonitor], int, int]:
+    """Returns (viz, cka, log_every_n_epochs, log_every_n_steps).
+
+    ``(None, None, 0, 0)`` when disabled. Step frequency (reference
+    ``callback_factory.py:18-84``) takes precedence when set: the loop
+    captures diagnostics every N optimizer steps on the per-step path, and
+    rounds to the nearest epoch boundary in fused-epoch mode (a whole epoch
+    is one dispatch there — no host hook exists between steps).
+    """
     viz_cfg = viz_cfg or {}
     if not viz_cfg.get("enable", False):
-        return None, None, 0
+        return None, None, 0, 0
     every = int(viz_cfg.get("log_every_n_epochs", 1) or 1)
+    every_steps = int(viz_cfg.get("log_every_n_steps", 0) or 0)
     viz = VizDiagnostics(
         viz_cfg,
         model_name=model_name,
@@ -35,4 +43,4 @@ def create_viz_callbacks(
         save_enabled=True,  # GIFs always written to viz.save_dir (cheap, local)
     )
     cka = CKAMonitor() if viz_cfg.get("compute_cka", True) else None
-    return viz, cka, every
+    return viz, cka, every, every_steps

@@ -29,7 +29,76 @@ import numpy as np
 from vit_tpu.prepca.pipeline import compute_cka
 from vit_tpu.viz import gif_maker
 
-__all__ = ["VizDiagnostics", "CKAMonitor", "extract_diagnostics", "cka_matrix"]
+__all__ = [
+    "VizDiagnostics",
+    "CKAMonitor",
+    "extract_diagnostics",
+    "reduce_intermediates",
+    "capture_batch_cap",
+    "cka_matrix",
+]
+
+MAX_ACT_SAMPLE = 65_536  # per-layer histogram sample cap (elements)
+
+
+def capture_batch_cap(
+    seq_len: int,
+    num_heads: int,
+    intermediate_size: int,
+    budget_bytes: int = 512 * 1024**2,
+) -> int:
+    """Largest capture batch whose transient diagnostics fit the budget.
+
+    The dominant in-graph capture tensors are the per-layer attention
+    probabilities (B, H, T, T) and MLP activations (B, T, I), fp32; at
+    stride-1 (~4k tokens) an uncapped ``num_viz_samples=256`` would need
+    tens of GB. One layer is live at a time (XLA frees between layers).
+    """
+    per_sample = 4 * (num_heads * seq_len * seq_len + seq_len * intermediate_size)
+    return max(1, int(budget_bytes // max(1, per_sample)))
+
+
+def reduce_intermediates(intermediates: dict, num_layers: int, sample_rate: float):
+    """On-device reduction of sown diagnostics (runs INSIDE the capture jit).
+
+    Shrinks what crosses the device->host boundary: attention probs are
+    already batch-mean (H, T, T); MLP activations (B, T, I) become per-layer
+    scalar stats + a ``sample_rate`` subsample (capped at MAX_ACT_SAMPLE)
+    for histograms; CLS states pass through (small).
+    """
+    import jax.numpy as jnp
+
+    enc = intermediates.get("encoder", {})
+    out = {"attn": [], "mlp": {}, "cls_hidden": {}}
+    for i in range(num_layers):
+        layer = enc.get(f"layer_{i}", {})
+        probs = layer.get("attention", {}).get("attention_probs")
+        if probs:
+            out["attn"].append(probs[0])  # (H, T, T), batch-mean on device
+        act = layer.get("mlp_activation")
+        if act:
+            a = act[0]
+            flat = a.reshape(-1)
+            n = flat.shape[0]
+            k = max(1, min(int(n * sample_rate), MAX_ACT_SAMPLE))
+            stride = max(1, n // k)
+            sample = flat[:: stride][:k]
+            per_neuron = a.reshape(-1, a.shape[-1])
+            std = flat.std()
+            out["mlp"][f"layer_{i}"] = {
+                "mean": flat.mean(),
+                "std": std,
+                "sparsity": (jnp.abs(flat) < 1e-6).mean(),
+                "dead_frac": (per_neuron.std(axis=0) < 1e-6).mean(),
+                "sat_frac": (jnp.abs(flat) > 3 * (std + 1e-9)).mean(),
+                "sample": sample,
+            }
+        cls_h = enc.get(f"cls_hidden_{i}")
+        if cls_h:
+            out["cls_hidden"][f"layer_{i}"] = cls_h[0]
+    emb = intermediates.get("cls_embedding")
+    out["cls_embedding"] = emb[0] if emb else None
+    return out
 
 
 def cka_matrix(
@@ -49,27 +118,27 @@ def cka_matrix(
 MAX_FRAMES = 100
 
 
-def extract_diagnostics(intermediates: dict, num_layers: int) -> Dict[str, object]:
-    """Flatten the sown intermediates into plain numpy arrays.
+def extract_diagnostics(reduced: dict, num_layers: int = 0) -> Dict[str, object]:
+    """Device-get the (already on-device-reduced) diagnostics to numpy.
 
-    Returns ``{attn: [per-layer (H, T, T) batch-mean], mlp: {layer: arr},
+    Input = :func:`reduce_intermediates` output. Returns ``{attn:
+    [per-layer (H, T, T) batch-mean], mlp: {layer: stats dict},
     cls_hidden: {layer: (B, D)}, cls_embedding: (B, D)}``.
     """
-    enc = intermediates.get("encoder", {})
-    out: Dict[str, object] = {"attn": [], "mlp": {}, "cls_hidden": {}}
-    for i in range(num_layers):
-        layer = enc.get(f"layer_{i}", {})
-        probs = layer.get("attention", {}).get("attention_probs")
-        if probs:
-            out["attn"].append(np.asarray(probs[0]).mean(axis=0))  # (H, T, T)
-        act = layer.get("mlp_activation")
-        if act:
-            out["mlp"][f"layer_{i}"] = np.asarray(act[0])
-        cls_h = enc.get(f"cls_hidden_{i}")
-        if cls_h:
-            out["cls_hidden"][f"layer_{i}"] = np.asarray(cls_h[0])
-    emb = intermediates.get("cls_embedding")
-    out["cls_embedding"] = np.asarray(emb[0]) if emb else None
+    del num_layers  # shape already resolved by reduce_intermediates
+
+    def to_np(x):
+        return None if x is None else np.asarray(x)
+
+    out: Dict[str, object] = {
+        "attn": [to_np(a) for a in reduced.get("attn", [])],
+        "mlp": {
+            k: {s: to_np(v) for s, v in stats.items()}
+            for k, stats in (reduced.get("mlp") or {}).items()
+        },
+        "cls_hidden": {k: to_np(v) for k, v in (reduced.get("cls_hidden") or {}).items()},
+        "cls_embedding": to_np(reduced.get("cls_embedding")),
+    }
     return out
 
 
@@ -92,6 +161,8 @@ class VizDiagnostics:
         self.save_dir = os.path.join(
             self.cfg.get("save_dir", "./results/viz"), model_name
         )
+        # sample_rate is consumed on-device by reduce_intermediates (the
+        # Experiment reads it from the same viz config).
         self.sample_rate = float(self.cfg.get("sample_rate", 0.15))
         self.gif_duration = int(self.cfg.get("gif_duration", 500))
         self.embedding_method = self.cfg.get("embedding_method", "umap")
@@ -105,14 +176,6 @@ class VizDiagnostics:
 
     def _want(self, key: str) -> bool:
         return bool(self.cfg.get(f"create_{key}_gif", True))
-
-    def _subsample(self, arr: np.ndarray) -> np.ndarray:
-        flat = arr.reshape(-1)
-        n = max(1, int(len(flat) * self.sample_rate))
-        if n >= len(flat):
-            return flat
-        idx = np.random.default_rng(0).choice(len(flat), n, replace=False)
-        return flat[idx]
 
     def on_validation_epoch(
         self,
@@ -130,13 +193,10 @@ class VizDiagnostics:
             )
         mlp = diag.get("mlp") or {}
         if self._want("activation") and mlp:
-            sampled = {k: self._subsample(v) for k, v in mlp.items()}
-            # keep 2-D shape info for dead-neuron stats on the full arrays
-            full = {k: v.reshape(-1, v.shape[-1]) for k, v in mlp.items()}
+            # per-layer stats + histogram samples, reduced on device
             self.frames["activation"].append(
-                gif_maker.activation_frame(full, epoch, self.model_name)
+                gif_maker.activation_frame(mlp, epoch, self.model_name)
             )
-            del sampled
         attn = diag.get("attn") or []
         if self._want("attention") and attn:
             ent = float(

@@ -82,38 +82,61 @@ def distribution_frame(preds, labels, names, epoch: int, model_name: str = ""):
 
 
 def activation_frame(
-    activations: Dict[str, np.ndarray], epoch: int, model_name: str = ""
+    activations: Dict[str, dict], epoch: int, model_name: str = ""
 ):
-    """Per-layer activation stats: mean±std, sparsity, dead/saturated, hist."""
+    """Per-layer activation stats: mean±std, sparsity, dead/saturated, hist.
+
+    ``activations``: layer -> stats dict from on-device reduction
+    (``viz.diagnostics.reduce_intermediates``): scalar ``mean/std/sparsity/
+    dead_frac/sat_frac`` + 1-D ``sample`` for histograms. Raw arrays are
+    also accepted (stats computed here) for standalone use.
+    """
     plt = _plt()
-    layers = list(activations.keys())
+
+    def stats_of(v):
+        if isinstance(v, dict):
+            return {k: (np.asarray(x) if k == "sample" else float(x)) for k, x in v.items()}
+        flat = np.asarray(v).reshape(-1)
+        std = float(flat.std())
+        return {
+            "mean": float(flat.mean()),
+            "std": std,
+            "sparsity": float((np.abs(flat) < 1e-6).mean()),
+            "dead_frac": float(
+                (np.asarray(v).reshape(-1, np.asarray(v).shape[-1]).std(0) < 1e-6).mean()
+            ),
+            "sat_frac": float((np.abs(flat) > 3 * (std + 1e-9)).mean()),
+            "sample": flat,
+        }
+
+    stats = {k: stats_of(v) for k, v in activations.items()}
+    layers = list(stats.keys())
     n = max(1, len(layers))
     fig, axes = plt.subplots(2, 2, figsize=(10, 7))
 
-    means = [float(activations[k].mean()) for k in layers]
-    stds = [float(activations[k].std()) for k in layers]
-    axes[0][0].errorbar(range(n), means, yerr=stds, fmt="o-")
+    axes[0][0].errorbar(
+        range(n),
+        [stats[k]["mean"] for k in layers],
+        yerr=[stats[k]["std"] for k in layers],
+        fmt="o-",
+    )
     axes[0][0].set_title("activation mean ± std")
     axes[0][0].set_xticks(range(n))
     axes[0][0].set_xticklabels(layers, rotation=30, fontsize=7)
 
-    sparsity = [float((np.abs(activations[k]) < 1e-6).mean()) for k in layers]
-    dead = [float((activations[k].reshape(-1, activations[k].shape[-1]).std(0) < 1e-6).mean())
-            for k in layers]
-    axes[0][1].plot(range(n), sparsity, "o-", label="sparsity")
-    axes[0][1].plot(range(n), dead, "s-", label="dead neurons")
+    axes[0][1].plot(range(n), [stats[k]["sparsity"] for k in layers], "o-", label="sparsity")
+    axes[0][1].plot(range(n), [stats[k]["dead_frac"] for k in layers], "s-", label="dead neurons")
     axes[0][1].set_ylim(0, 1)
     axes[0][1].legend(fontsize=8)
     axes[0][1].set_title("sparsity / dead fraction")
 
-    sat = [float((np.abs(activations[k]) > 3 * (activations[k].std() + 1e-9)).mean()) for k in layers]
-    axes[1][0].plot(range(n), sat, "o-")
+    axes[1][0].plot(range(n), [stats[k]["sat_frac"] for k in layers], "o-")
     axes[1][0].set_title("saturation fraction (>3 sigma)")
 
     for k in layers[:4]:
-        axes[1][1].hist(activations[k].ravel(), bins=50, alpha=0.5, label=k, density=True)
+        axes[1][1].hist(stats[k]["sample"], bins=50, alpha=0.5, label=k, density=True)
     axes[1][1].legend(fontsize=7)
-    axes[1][1].set_title("activation histograms")
+    axes[1][1].set_title("activation histograms (sampled)")
 
     fig.suptitle(f"activations — epoch {epoch}")
     fig.tight_layout()
