@@ -80,13 +80,16 @@ def replicated_sharding(mesh: Mesh) -> NamedSharding:
 
 
 def infer_param_shardings(params, mesh: Mesh):
-    """Megatron-style tensor-parallel layout over the ``model`` axis.
+    """Column-parallel kernel layout over the ``model`` axis (GSPMD seeding).
 
     Dense kernels shard their output-features dim when divisible by the TP
-    degree (column parallel); GSPMD propagates activation shardings and
-    inserts the reduce-scatter/all-gather collectives. Biases, LayerNorm
-    scales, and indivisible kernels replicate. With ``model=1`` this
-    degenerates to pure data parallelism (the reference's only mode).
+    degree; GSPMD propagates activation shardings and inserts the collectives.
+    Biases, LayerNorm scales, and indivisible kernels replicate. This is a
+    sharding *hint*, not a hand-scheduled Megatron plan (no explicit
+    row-parallel pairing; XLA chooses the gather/reduce points). Exposed via
+    ``train.model_parallel`` in the Experiment config and exercised by
+    ``tests/test_model_parallel.py`` and the driver dryrun. With ``model=1``
+    this degenerates to pure data parallelism (the reference's only mode).
     """
     tp = mesh.shape.get("model", 1)
 

@@ -26,6 +26,9 @@ class MetricLogger:
     ) -> None:
         self.name = name
         self._wandb = None
+        # Reference `WandbLogger(log_model=save)` (`vit.py:450-456`): upload
+        # checkpoints as W&B model artifacts when saving is on.
+        self.save_artifacts = bool(save_artifacts)
         if use_wandb:
             try:
                 import wandb
@@ -53,6 +56,26 @@ class MetricLogger:
         )
         print(f"[{self.name}] epoch {epoch}: {parts}", flush=True)
         self.log(metrics, step=step)
+
+    def log_checkpoint(self, path: str, alias: str, metadata: Optional[dict] = None) -> None:
+        """Upload a checkpoint directory as a W&B model artifact.
+
+        Mirrors Lightning's ``WandbLogger(log_model=True)`` end-of-training
+        upload (`/root/reference/src/vit.py:450-456`); no-op without a live
+        run or when artifact saving is off.
+        """
+        if self._wandb is None or not self.save_artifacts:
+            return
+        if not os.path.isdir(path):
+            return
+        try:
+            import wandb
+
+            art = wandb.Artifact(f"model-{self.name}", type="model", metadata=metadata)
+            art.add_dir(path)
+            self._wandb.log_artifact(art, aliases=[alias])
+        except Exception as e:  # artifact failures must not kill training
+            print(f"[logger] wandb artifact upload skipped: {e}")
 
     def finish(self) -> None:
         if self._wandb is not None:

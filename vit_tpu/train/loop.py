@@ -96,6 +96,7 @@ def make_train_step(
     noise_level: float,
     state_sharding=None,
     batch_sharding_=None,
+    repl_sharding=None,
 ) -> Callable:
     """Build the jitted training step. Donates the state for in-place HBM reuse.
 
@@ -140,9 +141,12 @@ def make_train_step(
 
     kwargs = {}
     if state_sharding is not None:
+        # state_sharding may be a TrainState-shaped pytree (tensor-parallel
+        # layouts) or a single sharding (replicated params, pure DP).
+        repl = repl_sharding if repl_sharding is not None else state_sharding
         kwargs = dict(
             in_shardings=(state_sharding, batch_sharding_),
-            out_shardings=(state_sharding, state_sharding),
+            out_shardings=(state_sharding, repl),
         )
     return jax.jit(train_step, donate_argnums=(0,), **kwargs)
 
@@ -157,6 +161,7 @@ def make_train_epoch(
     state_sharding=None,
     batch_constraint=None,
     with_val: bool = False,
+    repl_sharding=None,
 ) -> Callable:
     """Whole-epoch training as ONE dispatch: ``lax.scan`` over steps.
 
@@ -249,17 +254,18 @@ def make_train_epoch(
 
     kwargs = {}
     if state_sharding is not None:
-        n_in = 4 if with_val else 3
-        n_out = 4 if with_val else 3
+        repl = repl_sharding if repl_sharding is not None else state_sharding
+        n_extra = 3 if with_val else 2  # data, perm (+ val_x); losses, lr (+ logits)
         kwargs = dict(
-            in_shardings=tuple([state_sharding] * n_in),
-            out_shardings=tuple([state_sharding] * n_out),
+            in_shardings=(state_sharding,) + (repl,) * n_extra,
+            out_shardings=(state_sharding,) + (repl,) * n_extra,
         )
     return jax.jit(epoch_fn, donate_argnums=(0,), **kwargs)
 
 
 def make_eval_step(
-    bundle: ModelBundle, state_sharding=None, batch_sharding_=None
+    bundle: ModelBundle, params_sharding=None, batch_sharding_=None,
+    repl_sharding=None,
 ) -> Callable:
     module = bundle.module
 
@@ -267,10 +273,11 @@ def make_eval_step(
         return module.apply({"params": params}, batch["x"], deterministic=True)
 
     kwargs = {}
-    if state_sharding is not None:
+    if params_sharding is not None:
+        repl = repl_sharding if repl_sharding is not None else params_sharding
         kwargs = dict(
-            in_shardings=(state_sharding, batch_sharding_),
-            out_shardings=state_sharding,
+            in_shardings=(params_sharding, batch_sharding_),
+            out_shardings=repl,
         )
     return jax.jit(eval_step, **kwargs)
 
@@ -341,13 +348,18 @@ class Experiment:
         if num_devices is None:
             num_devices = train_cfg.get("gpus")  # CLI-injected device count
         maybe_initialize_distributed()  # no-op single-host; DCN across slices
-        self.mesh = make_mesh(num_devices=num_devices)
+        # Tensor parallelism: train.model_parallel splits a `model` mesh axis
+        # (column-parallel kernels via infer_param_shardings); default 1 = the
+        # reference's pure-DP mode.
+        tp = int(train_cfg.get("model_parallel", 1) or 1)
+        self.mesh = make_mesh(num_devices=num_devices, model_parallel=tp)
         # Keep per-device batch shape static: the data axis must divide batch.
-        n_dev = self.mesh.devices.size
-        data_par = math.gcd(self.batch_size, n_dev)
-        if data_par != n_dev:
-            print(f"[experiment] batch {self.batch_size} not divisible by {n_dev} devices; using {data_par}")
-            self.mesh = make_mesh(num_devices=data_par)
+        n_data = self.mesh.shape.get("data", 1)
+        data_par = math.gcd(self.batch_size, n_data)
+        if data_par != n_data:
+            print(f"[experiment] batch {self.batch_size} not divisible by "
+                  f"{n_data} data shards; using {data_par}")
+            self.mesh = make_mesh(num_devices=data_par * tp, model_parallel=tp)
         self.batch_shard = batch_sharding(self.mesh)
         self.repl_shard = replicated_sharding(self.mesh)
 
@@ -367,6 +379,7 @@ class Experiment:
             enabled=self.save,
         )
         self.state: Optional[TrainState] = None
+        self.state_shard = self.repl_shard  # refined by _init_state (TP trees)
         self._eval_step = None
         self._capture_step = None
         self.callback_metrics: Dict[str, float] = {}
@@ -399,6 +412,34 @@ class Experiment:
             dummy = jnp.zeros((1, in_dim), jnp.float32)
         variables = self.bundle.module.init(init_rng, dummy)
         params = variables["params"]
+        tp = self.mesh.shape.get("model", 1)
+        if tp > 1:
+            # Tensor-parallel layout: params per infer_param_shardings; the
+            # optimizer moments inherit the params' shardings (eager optax
+            # init computes follow-the-data); host-updated scalars committed
+            # replicated so the jit cache key stays stable.
+            from vit_tpu.parallel.mesh import infer_param_shardings
+
+            params = jax.device_put(params, infer_param_shardings(params, self.mesh))
+            opt_state = tx.init(params)
+            # 0-d leaves (step counts, injected lr) come out uncommitted;
+            # commit them replicated for a stable signature.
+            opt_state = jax.tree_util.tree_map(
+                lambda x: jax.device_put(x, self.repl_shard)
+                if getattr(x, "ndim", None) == 0
+                else x,
+                opt_state,
+            )
+            state = TrainState(
+                step=jax.device_put(jnp.zeros((), jnp.int32), self.repl_shard),
+                params=params,
+                opt_state=opt_state,
+                rng=jax.device_put(state_rng, self.repl_shard),
+                plateau_scale=self._scalar(1.0),
+                frozen=self._scalar(0.0),
+            )
+            self.state_shard = jax.tree_util.tree_map(lambda x: x.sharding, state)
+            return state
         state = TrainState(
             step=jnp.zeros((), jnp.int32),
             params=params,
@@ -409,6 +450,7 @@ class Experiment:
         )
         # Commit every leaf with the replicated sharding so the jit signature
         # is identical on the first and every later call (no recompiles).
+        self.state_shard = self.repl_shard
         return jax.device_put(state, self.repl_shard)
 
     def _scalar(self, value: float) -> jnp.ndarray:
@@ -431,8 +473,14 @@ class Experiment:
     ) -> Tuple[np.ndarray, np.ndarray]:
         """Forward the dataset; returns (logits, labels) for real rows."""
         if self._eval_step is None:
+            params_shard = (
+                self.state_shard.params
+                if isinstance(self.state_shard, TrainState)
+                else self.state_shard
+            )
             self._eval_step = make_eval_step(
-                self.bundle, self.repl_shard, self.batch_shard
+                self.bundle, params_shard, self.batch_shard,
+                repl_sharding=self.repl_shard,
             )
         n_shards = self.mesh.shape.get("data", 1)
         bs = max(n_shards, (batch_size // n_shards) * n_shards)
@@ -571,8 +619,8 @@ class Experiment:
             )
             train_epoch = make_train_epoch(
                 self.bundle, tx, spec, self.noise_level, self.batch_size,
-                steps_per_epoch, self.repl_shard, batch_constraint,
-                with_val=fused_val,
+                steps_per_epoch, self.state_shard, batch_constraint,
+                with_val=fused_val, repl_sharding=self.repl_shard,
             )
             train_data_dev = jax.device_put(train_cols, self.repl_shard)
             if fused_val:
@@ -584,7 +632,8 @@ class Experiment:
             train_step = None
         else:
             train_step = make_train_step(
-                self.bundle, tx, spec, self.noise_level, self.repl_shard, self.batch_shard
+                self.bundle, tx, spec, self.noise_level, self.state_shard,
+                self.batch_shard, repl_sharding=self.repl_shard,
             )
 
         start_epoch = 0
@@ -592,7 +641,7 @@ class Experiment:
             restored = CheckpointManager.restore(
                 self.ckpt.resolve(self.ckpt_path), self.state
             )
-            self.state = jax.device_put(restored, self.repl_shard)
+            self.state = jax.device_put(restored, self.state_shard)
             start_epoch = int(self.state.step) // steps_per_epoch
             print(f"[experiment] resumed from {self.ckpt_path} at epoch {start_epoch}")
 
@@ -798,6 +847,13 @@ class Experiment:
             except Exception as e:
                 print(f"[viz] train-end artifacts skipped: {e}")
 
+        if self.save:
+            # W&B model artifacts at train end (reference log_model=save).
+            meta = {"monitor": monitor_key, "best_value": self.ckpt.best_value,
+                    "best_epoch": self.ckpt.best_epoch}
+            self.logger.log_checkpoint(self.ckpt.best_path, "best", metadata=meta)
+            self.logger.log_checkpoint(self.ckpt.last_path, "last", metadata=meta)
+
         self.callback_metrics = dict(epoch_metrics)
         return epoch_metrics
 
@@ -811,7 +867,7 @@ class Experiment:
             self.state = self._init_state(tx)
         if ckpt:
             restored = CheckpointManager.restore(self.ckpt.resolve(ckpt), self.state)
-            self.state = jax.device_put(restored, self.repl_shard)
+            self.state = jax.device_put(restored, self.state_shard)
         metrics = self._eval_metrics(
             self.datamodule.test, "test", self.batch_size
         )
