@@ -1,16 +1,19 @@
 #!/usr/bin/env python
-"""Benchmark: baseline ViT training throughput on one TPU chip.
+"""Benchmark: training throughput on one TPU chip. Prints ONE JSON line.
 
-Workload = the reference baseline (`configs/exp/att_clp/baseline.yaml`,
+Headline = the reference baseline workload (`configs/exp/att_clp/baseline.yaml`,
 BASELINE.md): 4096-pixel spectra, patch/stride 32 -> 129 tokens, hidden 32,
 3 layers, 2 heads, MAE-monitored regression, AdamW, batch 64, 10k train
-spectra. Headline metric = images/sec/chip through the fused-epoch path
-(one lax.scan dispatch per epoch — the production configuration); extras
-report the per-step path, bf16, and p50 eval latency.
+spectra — images/sec/chip through the production fast path
+(``train.epochs_per_dispatch=10``: ten lax.scan epochs per dispatch, one
+host round-trip per block). Extras report the single-epoch fused path, the
+per-step path, bf16, p50 eval latency, and the image-ViT family (ViT-S/16
+CIFAR-shape and ViT-B/16 bf16+remat) where the MXU, not dispatch overhead,
+sets the ceiling.
 
 The reference publishes no numbers (BASELINE.md); ``vs_baseline`` is
-measured against the documented A100-PyTorch estimate in BASELINE.md
-(A100_TORCH_EST_IPS). Prints ONE JSON line on stdout.
+measured against the A100-PyTorch estimate documented there, anchored by a
+measured torch-CPU datapoint (scripts/bench_torch_reference.py).
 """
 
 from __future__ import annotations
@@ -27,9 +30,9 @@ A100_TORCH_EST_IPS = 25_000.0  # see BASELINE.md "Benchmark protocol"
 
 N_TRAIN = 10_000
 BATCH = 64
-WARMUP_EPOCHS = 2
-BENCH_EPOCHS = 3
+EPOCHS_PER_DISPATCH = 10
 EVAL_REPS = 50
+IMG_STEPS = 16  # image-family steps per timed dispatch
 
 
 def _config(precision: str) -> dict:
@@ -54,7 +57,7 @@ def _config(precision: str) -> dict:
     }
 
 
-def build(precision: str):
+def build(precision: str, n_epochs: int = 1):
     import jax
     import jax.numpy as jnp
 
@@ -82,9 +85,19 @@ def build(precision: str):
     }
     data_dev = jax.device_put(data, repl)
     batch = jax.device_put({k: v[:BATCH] for k, v in data.items()}, bshard)
-    perm = jax.device_put(
-        np.arange(steps_per_epoch * BATCH, dtype=np.int32), repl
-    )
+    total = steps_per_epoch * BATCH
+    if n_epochs > 1:
+        perm = jax.device_put(
+            np.stack([
+                np.random.default_rng(s).permutation(N_TRAIN)[:total].astype(np.int32)
+                for s in range(n_epochs)
+            ]),
+            repl,
+        )
+        frozen_vec = jax.device_put(np.zeros(n_epochs, np.float32), repl)
+    else:
+        perm = jax.device_put(np.arange(total, dtype=np.int32), repl)
+        frozen_vec = None
 
     params = bundle.module.init(jax.random.PRNGKey(0), jnp.zeros((1, 4096)))["params"]
     spec = OptSpec(
@@ -101,30 +114,40 @@ def build(precision: str):
     )
     state = jax.device_put(state, repl)
     train_epoch = make_train_epoch(
-        bundle, tx, spec, 0.0, BATCH, steps_per_epoch, repl
+        bundle, tx, spec, 0.0, BATCH, steps_per_epoch, repl, n_epochs=n_epochs
     )
     train_step = make_train_step(bundle, tx, spec, 0.0, repl, bshard)
     eval_step = make_eval_step(bundle, repl, bshard)
-    return state, data_dev, perm, batch, train_epoch, train_step, eval_step, steps_per_epoch
+    return (state, data_dev, perm, frozen_vec, batch, train_epoch, train_step,
+            eval_step, steps_per_epoch)
 
 
 # NOTE on synchronization: under the axon TPU tunnel,
 # ``jax.block_until_ready`` returns before remote execution finishes — every
 # timing below forces a REAL sync by copying a result to the host
-# (np.asarray), exactly what the training loop does once per epoch.
+# (np.asarray), exactly what the training loop does once per dispatch.
 
 
-def bench_fused(state, data_dev, perm, train_epoch, steps_per_epoch):
-    for _ in range(WARMUP_EPOCHS):
-        state, losses, _ = train_epoch(state, data_dev, perm)
+def bench_fused(state, data_dev, perm, frozen_vec, train_epoch, steps_per_epoch,
+                n_epochs=1, reps=3):
+    def dispatch(st):
+        if n_epochs > 1:
+            st, losses, _ = train_epoch(st, data_dev, perm, frozen_vec)
+        else:
+            st, losses, _ = train_epoch(st, data_dev, perm)
+        return st, losses
+
+    for _ in range(2):
+        state, losses = dispatch(state)
     np.asarray(losses)
     times = []
-    for _ in range(BENCH_EPOCHS):
+    for _ in range(reps):
         t0 = time.perf_counter()
-        state, losses, _ = train_epoch(state, data_dev, perm)
+        state, losses = dispatch(state)
         np.asarray(losses)  # hard sync (host copy)
         times.append(time.perf_counter() - t0)
-    return steps_per_epoch * BATCH / float(np.median(times)), state
+    per_epoch = float(np.median(times)) / n_epochs
+    return steps_per_epoch * BATCH / per_epoch, state
 
 
 def bench_per_step(state, batch, train_step, steps_per_epoch):
@@ -152,6 +175,91 @@ def bench_eval(state, batch, eval_step):
     return float(np.median(times) * 1e3)
 
 
+def bench_image_family():
+    """Train-step throughput for the standard image-ViT presets (bf16).
+
+    These are the compute-bound shapes where the MXU sets the ceiling;
+    measured by amortizing IMG_STEPS full train steps inside one lax.scan
+    dispatch with a hard host sync (tunnel-proof)."""
+    import jax
+    import jax.numpy as jnp
+
+    from vit_tpu.models.builder import get_model
+    from vit_tpu.models.vit import compute_loss
+    from vit_tpu.train.optim import OptSpec, build_optimizer
+
+    out = {}
+    cases = [
+        # (tag, model cfg, batch)
+        ("vit_s16_cifar_bf16", {
+            "name": "vit-s16", "task_type": "cls", "input_kind": "image",
+            "image_size": 32, "patch_size": 4, "num_labels": 10,
+            "num_channels": 3, "pos_encoding_type": "learned",
+        }, 128),
+        ("vit_b16_224_bf16_remat", {
+            "name": "vit-b16", "task_type": "cls", "input_kind": "image",
+            "image_size": 224, "num_labels": 1000, "num_channels": 3,
+            "pos_encoding_type": "learned", "remat": True, "attn_impl": "auto",
+        }, 128),
+    ]
+    for tag, mcfg, batch in cases:
+        cfg = {
+            "project": "bench", "model": dict(mcfg),
+            "train": {"batch_size": batch, "ep": 1, "precision": "bf16"},
+            "loss": {"name": "ce"}, "data": {}, "noise": {"noise_level": 0},
+        }
+        bundle = get_model(cfg)
+        vc = bundle.vit_config
+        rng = np.random.default_rng(0)
+        x = jnp.asarray(
+            rng.standard_normal((batch, vc.image_size, vc.image_size, 3)), jnp.float32
+        )
+        y = jnp.asarray(rng.integers(0, vc.num_labels, batch), jnp.int32)
+        params = bundle.module.init(jax.random.PRNGKey(0), x[:1])["params"]
+        spec = OptSpec(lr=1e-3, opt_type="adamw", steps_per_epoch=1, total_epochs=1)
+        tx = build_optimizer(spec)
+        opt_state = tx.init(params)
+
+        def one_step(carry, _):
+            params, opt_state, key = carry
+            key, dr = jax.random.split(key)
+
+            def loss_fn(p):
+                logits = bundle.module.apply(
+                    {"params": p}, x, deterministic=False, rngs={"dropout": dr}
+                )
+                return compute_loss(logits, y, "cls", "ce")
+
+            loss, grads = jax.value_and_grad(loss_fn)(params)
+            updates, opt_state = tx.update(grads, opt_state, params)
+            params = jax.tree_util.tree_map(
+                lambda p, u: p + u.astype(p.dtype), params, updates
+            )
+            return (params, opt_state, key), loss
+
+        @jax.jit
+        def run(params, opt_state):
+            carry, losses = jax.lax.scan(
+                one_step, (params, opt_state, jax.random.PRNGKey(1)), None,
+                length=IMG_STEPS,
+            )
+            return carry[0], carry[1], losses
+
+        p, o = params, opt_state
+        p, o, losses = run(p, o)
+        np.asarray(losses)  # compile + warm
+        times = []
+        for _ in range(2):
+            t0 = time.perf_counter()
+            p, o, losses = run(p, o)
+            np.asarray(losses)
+            times.append(time.perf_counter() - t0)
+        dt = float(np.median(times)) / IMG_STEPS
+        out[f"{tag}_ips"] = round(batch / dt, 1)
+        out[f"{tag}_step_ms"] = round(dt * 1e3, 3)
+    return out
+
+
 def main() -> None:
     import jax as _jax
 
@@ -160,35 +268,48 @@ def main() -> None:
 
     setup_log = io.StringIO()
     with contextlib.redirect_stdout(setup_log):
-        (state, data_dev, perm, batch, train_epoch, train_step, eval_step,
-         steps_per_epoch) = build("32")
-        ips_fused, state = bench_fused(state, data_dev, perm, train_epoch, steps_per_epoch)
-        # per-step path benches from a fresh state (the fused one was donated)
-        (state2, _, _, batch2, _, train_step2, eval_step2, _) = build("32")
-        ips_step, state2 = bench_per_step(state2, batch2, train_step2, steps_per_epoch)
-        eval_p50_ms = bench_eval(state2, batch2, eval_step2)
+        # headline: production fast path (10 epochs per dispatch)
+        (state, data_dev, perm, frozen_vec, batch, train_epoch, train_step,
+         eval_step, steps_per_epoch) = build("32", n_epochs=EPOCHS_PER_DISPATCH)
+        ips_block, _ = bench_fused(
+            state, data_dev, perm, frozen_vec, train_epoch, steps_per_epoch,
+            n_epochs=EPOCHS_PER_DISPATCH,
+        )
+        # extras: single-epoch fused, per-step, eval p50, bf16, image family
+        (state1, data1, perm1, _, batch1, epoch1, step1, eval1, spe1) = build("32")
+        ips_fused, state1 = bench_fused(state1, data1, perm1, None, epoch1, spe1)
+        ips_step, state1 = bench_per_step(state1, batch1, step1, spe1)
+        eval_p50_ms = bench_eval(state1, batch1, eval1)
 
-        (state3, data3, perm3, _, train_epoch3, _, _, spe3) = build("bf16")
-        ips_bf16, _ = bench_fused(state3, data3, perm3, train_epoch3, spe3)
+        (state3, data3, perm3, _, _, epoch3, _, _, spe3) = build("bf16")
+        ips_bf16, _ = bench_fused(state3, data3, perm3, None, epoch3, spe3)
+
+        image_metrics = bench_image_family()
     print(setup_log.getvalue(), file=sys.stderr)
 
     import jax
 
-    value = ips_fused
+    value = ips_block
     result = {
-        "metric": "ViT baseline train images/sec/chip (fp32, fused epoch)",
+        "metric": "ViT baseline train images/sec/chip (fp32, 10-epoch fused dispatch)",
         "value": round(value, 1),
         "unit": "images/sec/chip",
         "vs_baseline": round(value / A100_TORCH_EST_IPS, 3),
         "extras": {
+            "train_ips_fused_single_epoch": round(ips_fused, 1),
             "train_ips_per_step_path": round(ips_step, 1),
             "train_ips_bf16_fused": round(ips_bf16, 1),
             "eval_step_p50_ms": round(eval_p50_ms, 3),
             "batch_size": BATCH,
             "n_train": N_TRAIN,
+            "epochs_per_dispatch": EPOCHS_PER_DISPATCH,
             "backend": jax.default_backend(),
             "device": str(jax.devices()[0]),
-            "baseline_note": f"vs estimated A100 torch {A100_TORCH_EST_IPS:.0f} img/s (BASELINE.md)",
+            "baseline_note": (
+                f"vs estimated A100 torch {A100_TORCH_EST_IPS:.0f} img/s "
+                "(BASELINE.md; anchored by measured torch-CPU datapoint)"
+            ),
+            **image_metrics,
         },
     }
     print(json.dumps(result))

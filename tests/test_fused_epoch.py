@@ -42,3 +42,51 @@ def test_fused_epoch_data_parallel(tiny_config, tmp_path, monkeypatch):
     exp1 = Experiment(_cfg(tiny_config, True), seed=0, num_devices=1)
     m1 = exp1.fit()
     assert metrics["val_mae"] == pytest.approx(m1["val_mae"], rel=1e-5)
+
+
+def test_epochs_per_dispatch_bit_equivalent(tiny_config, tmp_path, monkeypatch):
+    """train.epochs_per_dispatch=2 must produce the exact same training
+    trajectory as per-epoch dispatches (same RNG stream, same permutations,
+    same freeze schedule)."""
+    import jax
+    import numpy as np
+
+    from vit_tpu.train.loop import Experiment
+
+    monkeypatch.setenv("CKPT_DIR", str(tmp_path / "ckpt"))
+
+    def run(epd):
+        cfg = dict(tiny_config)
+        cfg["train"] = dict(tiny_config["train"], ep=4, batch_size=16,
+                            epochs_per_dispatch=epd)
+        cfg["opt"] = {"type": "AdamW", "lr": 1e-3, "lr_sch": "none"}
+        exp = Experiment(cfg, seed=0)
+        metrics = exp.fit()
+        return metrics, jax.device_get(exp.state.params), int(exp.state.step)
+
+    m1, p1, s1 = run(1)
+    m2, p2, s2 = run(2)
+    assert s1 == s2
+    assert m1["val_mae"] == m2["val_mae"]
+    assert m1["train_loss"] == m2["train_loss"]
+    for a, b in zip(jax.tree_util.tree_leaves(p1), jax.tree_util.tree_leaves(p2)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_epochs_per_dispatch_tail_and_early_stop(tiny_config, tmp_path, monkeypatch):
+    """ep not divisible by the block size: tail epochs run per-epoch; metrics
+    exist for every epoch."""
+    from vit_tpu.train.loop import Experiment
+
+    monkeypatch.setenv("CKPT_DIR", str(tmp_path / "ckpt"))
+    cfg = dict(tiny_config)
+    cfg["train"] = dict(tiny_config["train"], ep=5, batch_size=16,
+                        epochs_per_dispatch=3, save=True)
+    cfg["opt"] = {"type": "AdamW", "lr": 1e-3, "lr_sch": "none"}
+    exp = Experiment(cfg, seed=0)
+    metrics = exp.fit()
+    assert int(exp.state.step) == 5 * 6  # 96/16 = 6 steps per epoch
+    assert "val_mae" in metrics
+    # checkpoints exist (block-boundary granularity)
+    import os
+    assert os.path.exists(exp.ckpt.last_path)

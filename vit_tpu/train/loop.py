@@ -162,6 +162,7 @@ def make_train_epoch(
     batch_constraint=None,
     with_val: bool = False,
     repl_sharding=None,
+    n_epochs: int = 1,
 ) -> Callable:
     """Whole-epoch training as ONE dispatch: ``lax.scan`` over steps.
 
@@ -172,10 +173,19 @@ def make_train_epoch(
     per-step path exactly (same RNG stream layout per step, same LR
     schedule/plateau/freeze scalars).
 
-    Returns ``fn(state, data, perm) -> (state, losses (steps,), last_lr)``
-    where ``data`` is the column dict of full epoch arrays and ``perm`` is
-    an int32 index vector of length ``steps_per_epoch * batch_size``
-    (cycled-padded by the host like the Batcher).
+    ``n_epochs == 1`` (default): returns ``fn(state, data, perm[, val_x]) ->
+    (state, losses (steps,), last_lr[, val_logits])`` where ``data`` is the
+    column dict of full epoch arrays and ``perm`` an int32 index vector of
+    length ``steps_per_epoch * batch_size`` (cycled-padded by the host like
+    the Batcher).
+
+    ``n_epochs > 1`` (``train.epochs_per_dispatch``): an outer scan runs N
+    epochs per dispatch, amortizing the host round-trip (~29 ms on tunneled
+    deployments) over N. ``perm`` becomes ``(N, steps*batch)``, a ``frozen``
+    vector ``(N,)`` sets the freeze flag per epoch, and outputs grow a
+    leading epoch axis (fused val logits are per-epoch, so host-side
+    metrics/plateau/early-stop still see every epoch). Identical update
+    trajectory to N single-epoch dispatches.
     """
     module = bundle.module
     schedule = schedule_scale(spec)
@@ -183,9 +193,36 @@ def make_train_epoch(
     loss_name = bundle.loss_name
     has_preproc = bundle.has_preprocessor
 
-    def epoch_fn(state: TrainState, data: Dict[str, jnp.ndarray], perm: jnp.ndarray,
-                 *val_args):
-        val_x = val_args[0] if val_args else None
+    def one_step(state, batch):
+        rng, noise_rng, dropout_rng = jax.random.split(state.rng, 3)
+        x = batch["x"]
+        if noise_level > 0 and "error" in batch:
+            x = x + jax.random.normal(noise_rng, x.shape, x.dtype) * batch["error"] * noise_level
+
+        def loss_fn(params):
+            logits = module.apply(
+                {"params": params}, x, deterministic=False,
+                rngs={"dropout": dropout_rng},
+            )
+            return compute_loss(logits, batch["label"], task, loss_name)
+
+        loss, grads = jax.value_and_grad(loss_fn)(state.params)
+        if has_preproc:
+            grads = _mask_preprocessor(grads, 1.0 - state.frozen)
+        lr = spec.lr * schedule(state.step) * state.plateau_scale
+        opt_state = set_learning_rate(state.opt_state, lr)
+        updates, opt_state = tx.update(grads, opt_state, state.params)
+        if has_preproc:
+            updates = _mask_preprocessor(updates, 1.0 - state.frozen)
+        params = jax.tree_util.tree_map(
+            lambda p, u: p + u.astype(p.dtype), state.params, updates
+        )
+        new_state = state.replace(
+            step=state.step + 1, params=params, opt_state=opt_state, rng=rng
+        )
+        return new_state, (loss, lr)
+
+    def run_one_epoch(state, data, perm, val_x):
         # ONE gather for the whole epoch (cheap, bandwidth-bound), then scan
         # over the stacked (steps, batch, ...) leading axis — per-step
         # dynamic gathers inside the scan body are ~4x slower on TPU.
@@ -201,40 +238,9 @@ def make_train_epoch(
             epoch_data = jax.lax.with_sharding_constraint(
                 epoch_data, batch_constraint
             )
-
-        def one_step(state, batch):
-            rng, noise_rng, dropout_rng = jax.random.split(state.rng, 3)
-            x = batch["x"]
-            if noise_level > 0 and "error" in batch:
-                x = x + jax.random.normal(noise_rng, x.shape, x.dtype) * batch["error"] * noise_level
-
-            def loss_fn(params):
-                logits = module.apply(
-                    {"params": params}, x, deterministic=False,
-                    rngs={"dropout": dropout_rng},
-                )
-                return compute_loss(logits, batch["label"], task, loss_name)
-
-            loss, grads = jax.value_and_grad(loss_fn)(state.params)
-            if has_preproc:
-                grads = _mask_preprocessor(grads, 1.0 - state.frozen)
-            lr = spec.lr * schedule(state.step) * state.plateau_scale
-            opt_state = set_learning_rate(state.opt_state, lr)
-            updates, opt_state = tx.update(grads, opt_state, state.params)
-            if has_preproc:
-                updates = _mask_preprocessor(updates, 1.0 - state.frozen)
-            params = jax.tree_util.tree_map(
-                lambda p, u: p + u.astype(p.dtype), state.params, updates
-            )
-            new_state = state.replace(
-                step=state.step + 1, params=params, opt_state=opt_state, rng=rng
-            )
-            return new_state, (loss, lr)
-
         state, (losses, lrs) = jax.lax.scan(one_step, state, epoch_data)
-
         if val_x is None:
-            return state, losses, lrs[-1]
+            return state, losses, lrs[-1], None
         # Fused validation: forward the (pre-noised) val inputs with the
         # just-updated params in the SAME dispatch — the whole epoch costs
         # one host round-trip. Scanned in batch-size chunks to bound memory.
@@ -252,13 +258,45 @@ def make_train_epoch(
         val_logits = val_logits.reshape((n_chunks * batch_size, -1))[:n_val]
         return state, losses, lrs[-1], val_logits
 
+    if n_epochs == 1:
+        def epoch_fn(state: TrainState, data: Dict[str, jnp.ndarray],
+                     perm: jnp.ndarray, *val_args):
+            val_x = val_args[0] if val_args else None
+            state, losses, last_lr, val_logits = run_one_epoch(state, data, perm, val_x)
+            if val_x is None:
+                return state, losses, last_lr
+            return state, losses, last_lr, val_logits
+    else:
+        def epoch_fn(state: TrainState, data: Dict[str, jnp.ndarray],
+                     perms: jnp.ndarray, frozen_vec: jnp.ndarray, *val_args):
+            val_x = val_args[0] if val_args else None
+
+            def one_epoch(state, xs):
+                perm, frozen = xs
+                state = state.replace(frozen=frozen)
+                state, losses, last_lr, val_logits = run_one_epoch(
+                    state, data, perm, val_x
+                )
+                outs = (losses, last_lr) + (
+                    (val_logits,) if val_x is not None else ()
+                )
+                return state, outs
+
+            state, outs = jax.lax.scan(one_epoch, state, (perms, frozen_vec))
+            if val_x is None:
+                return (state,) + outs  # losses (N, steps), last_lr (N,)
+            return (state,) + outs  # + val_logits (N, n_val, K)
+
     kwargs = {}
     if state_sharding is not None:
         repl = repl_sharding if repl_sharding is not None else state_sharding
-        n_extra = 3 if with_val else 2  # data, perm (+ val_x); losses, lr (+ logits)
+        # inputs after state: data, perm(s) [, frozen_vec] [, val_x]
+        n_in = 2 + (1 if n_epochs > 1 else 0) + (1 if with_val else 0)
+        # outputs after state: losses, last_lr [, val_logits]
+        n_out = 2 + (1 if with_val else 0)
         kwargs = dict(
-            in_shardings=(state_sharding,) + (repl,) * n_extra,
-            out_shardings=(state_sharding,) + (repl,) * n_extra,
+            in_shardings=(state_sharding,) + (repl,) * n_in,
+            out_shardings=(state_sharding,) + (repl,) * n_out,
         )
     return jax.jit(epoch_fn, donate_argnums=(0,), **kwargs)
 
@@ -602,6 +640,7 @@ class Experiment:
         if fused_cfg is False:
             use_fused = False
         fused_val = False
+        use_blocks, epd, train_epoch_block = False, 1, None
         val_x_dev = val_labels_host = None
         if use_fused:
             from jax.sharding import NamedSharding, PartitionSpec as P
@@ -621,6 +660,27 @@ class Experiment:
                 self.bundle, tx, spec, self.noise_level, self.batch_size,
                 steps_per_epoch, self.state_shard, batch_constraint,
                 with_val=fused_val, repl_sharding=self.repl_shard,
+            )
+            # Multi-epoch blocks (train.epochs_per_dispatch > 1): N epochs in
+            # ONE dispatch, amortizing the host round-trip. Per-epoch val
+            # metrics/plateau/early-stop are preserved (fused val returns
+            # per-epoch logits); checkpoints and plateau-scale *application*
+            # move to block boundaries. Off when viz needs per-epoch states.
+            epd = int((self.config.get("train", {}) or {}).get(
+                "epochs_per_dispatch", 1) or 1)
+            viz_on = bool((self.config.get("viz", {}) or {}).get("enable", False))
+            use_blocks = (
+                epd > 1 and not viz_on and (fused_val or not has_val)
+            )
+            train_epoch_block = (
+                make_train_epoch(
+                    self.bundle, tx, spec, self.noise_level, self.batch_size,
+                    steps_per_epoch, self.state_shard, batch_constraint,
+                    with_val=fused_val, repl_sharding=self.repl_shard,
+                    n_epochs=epd,
+                )
+                if use_blocks
+                else None
             )
             train_data_dev = jax.device_put(train_cols, self.repl_shard)
             if fused_val:
@@ -723,6 +783,17 @@ class Experiment:
             print(f"[viz] fused-epoch mode: log_every_n_steps -> every {viz_every} epoch(s)")
         num_viz_samples = int((self.config.get("viz", {}) or {}).get("num_viz_samples", 256))
 
+        def _epoch_perm(epoch: int) -> np.ndarray:
+            # Same shuffle semantics as the Batcher: permutation seeded
+            # by (seed + epoch), final partial batch cycled from start.
+            rng_np = np.random.default_rng(self.seed + epoch)
+            order = rng_np.permutation(len(train_ds))
+            total = steps_per_epoch * self.batch_size
+            if total > len(order):
+                order = np.concatenate([order, order[: total - len(order)]])
+            return np.asarray(order[:total], np.int32)
+
+        block_results: Dict[int, tuple] = {}
         for epoch in range(start_epoch, max_epochs):
             self.state = self.state.replace(frozen=self._scalar(self._frozen_flag(epoch)))
             batcher.set_epoch(epoch)
@@ -733,17 +804,40 @@ class Experiment:
                 jax.profiler.start_trace(self.profile_dir)
             t0 = time.perf_counter()
             fused_val_logits = None
-            if use_fused:
-                # Same shuffle semantics as the Batcher: permutation seeded
-                # by (seed + epoch), final partial batch cycled from start.
-                rng_np = np.random.default_rng(self.seed + epoch)
-                order = rng_np.permutation(len(train_ds))
-                total = steps_per_epoch * self.batch_size
-                if total > len(order):
-                    order = np.concatenate([order, order[: total - len(order)]])
-                perm_dev = jax.device_put(
-                    np.asarray(order[:total], np.int32), self.repl_shard
-                )
+            block_final = True  # per-epoch checkpoint granularity by default
+            if use_blocks and epoch not in block_results:
+                block = list(range(epoch, min(epoch + epd, max_epochs)))
+                if len(block) == epd:  # tail shorter than epd -> per-epoch path
+                    perms = jax.device_put(
+                        np.stack([_epoch_perm(e) for e in block]), self.repl_shard
+                    )
+                    frozen_vec = jax.device_put(
+                        np.asarray([self._frozen_flag(e) for e in block], np.float32),
+                        self.repl_shard,
+                    )
+                    args = (self.state, train_data_dev, perms, frozen_vec)
+                    if fused_val:
+                        self.state, losses_b, lrs_b, vlog_b = train_epoch_block(
+                            *args, val_x_dev
+                        )
+                        vlog_b = np.asarray(jax.device_get(vlog_b))
+                    else:
+                        self.state, losses_b, lrs_b = train_epoch_block(*args)
+                        vlog_b = None
+                    losses_b = np.asarray(jax.device_get(losses_b))
+                    lrs_b = np.asarray(jax.device_get(lrs_b))
+                    for j, e in enumerate(block):
+                        block_results[e] = (
+                            losses_b[j],
+                            float(lrs_b[j]),
+                            vlog_b[j] if vlog_b is not None else None,
+                            e == block[-1],
+                        )
+            if use_fused and epoch in block_results:
+                losses, last_lr, fused_val_logits, block_final = block_results.pop(epoch)
+                n_steps = steps_per_epoch
+            elif use_fused:
+                perm_dev = jax.device_put(_epoch_perm(epoch), self.repl_shard)
                 if fused_val:
                     (self.state, losses, last_lr, v_out) = train_epoch(
                         self.state, train_data_dev, perm_dev, val_x_dev
@@ -826,17 +920,21 @@ class Experiment:
                     except Exception as e:  # diagnostics never fail training
                         print(f"[viz] epoch diagnostics skipped: {e}")
                 stop = early.step(mon)
-                extra = dict(ckpt_extra or {})
-                extra["early_stop_state"] = early.state_dict()
-                if plateau is not None:
-                    extra["plateau_state"] = plateau.state_dict()
-                self.ckpt.on_epoch_end(self.state, epoch, mon, config=self.config, extra=extra)
+                if block_final:
+                    # In block mode intermediate states are not materialized
+                    # host-side; checkpoints land on block boundaries.
+                    extra = dict(ckpt_extra or {})
+                    extra["early_stop_state"] = early.state_dict()
+                    if plateau is not None:
+                        extra["plateau_state"] = plateau.state_dict()
+                    self.ckpt.on_epoch_end(self.state, epoch, mon, config=self.config, extra=extra)
                 self.logger.log_epoch(epoch, epoch_metrics, step=int(self.state.step))
                 if stop:
                     print(f"[experiment] early stopping at epoch {epoch}")
                     break
             else:
-                self.ckpt.on_epoch_end(self.state, epoch, None, config=self.config, extra=ckpt_extra)
+                if block_final:
+                    self.ckpt.on_epoch_end(self.state, epoch, None, config=self.config, extra=ckpt_extra)
                 self.logger.log_epoch(epoch, epoch_metrics, step=int(self.state.step))
 
         if viz is not None:
