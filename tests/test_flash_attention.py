@@ -57,12 +57,103 @@ def test_select_attn_impl_policy():
     assert select_attn_impl("auto", 4096, 64) == "flash"
 
 
-def test_select_attn_impl_dropout_forces_xla():
-    """Active probs-dropout must never reach the fused kernel (which would
-    silently skip it — reference applies dropout to probabilities)."""
-    assert select_attn_impl("flash", 4096, 64, dropout_active=True) == "xla"
-    assert select_attn_impl("auto", 4096, 64, dropout_active=True) == "xla"
+def test_select_attn_impl_dropout_keeps_flash():
+    """Probs dropout is applied in-kernel now — it must not change the
+    kernel choice (round-1 behavior forced xla, reintroducing the O(T^2)
+    memory wall for long-sequence dropout training)."""
+    assert select_attn_impl("flash", 4096, 64, dropout_active=True) == "flash"
+    assert select_attn_impl("auto", 4096, 64, dropout_active=True) == "flash"
     assert select_attn_impl("flash", 4096, 64, dropout_active=False) == "flash"
+
+
+def test_hash_dropout_mask_statistics():
+    from vit_tpu.ops.flash_attention import hash_dropout_mask
+
+    rate = 0.3
+    m = np.asarray(hash_dropout_mask(256, 256, 1, 42, rate))
+    keep_frac = (m > 0).mean()
+    assert abs(keep_frac - (1 - rate)) < 0.01
+    # kept entries carry the 1/keep scale (unbiased expectation)
+    np.testing.assert_allclose(m[m > 0], 1 / (1 - rate), rtol=1e-6)
+    # different seeds / heads decorrelate
+    m2 = np.asarray(hash_dropout_mask(256, 256, 1, 43, rate))
+    m3 = np.asarray(hash_dropout_mask(256, 256, 2, 42, rate))
+    assert ((m > 0) != (m2 > 0)).mean() > 0.2
+    assert ((m > 0) != (m3 > 0)).mean() > 0.2
+
+
+def test_kernel_dropout_matches_jnp_reference():
+    """Interpret-mode Pallas forward with dropout == the pure-jnp reference
+    (identical counter-based mask by construction)."""
+    from vit_tpu.ops.flash_attention import _xla_dropout_attention
+
+    rng = np.random.default_rng(5)
+    b, h, t, d = 1, 2, 200, 32
+    q, k, v = (jnp.asarray(rng.standard_normal((b, h, t, d)), jnp.float32)
+               for _ in range(3))
+    rate, seed = 0.25, 1234
+    out = flash_attention(q, k, v, interpret=True, dropout_rate=rate,
+                          dropout_seed=seed)
+    ref = _xla_dropout_attention(
+        q.reshape(b * h, t, d), k.reshape(b * h, t, d), v.reshape(b * h, t, d),
+        jnp.asarray([seed], jnp.int32), d**-0.5, rate,
+    ).reshape(b, h, t, d)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+def test_kernel_dropout_gradients_match_reference():
+    """Hand-written backward kernels with the dropout mask == autodiff of
+    the jnp reference (same mask)."""
+    from vit_tpu.ops.flash_attention import _xla_dropout_attention
+
+    rng = np.random.default_rng(6)
+    b, h, t, d = 1, 1, 150, 16
+    q, k, v = (jnp.asarray(rng.standard_normal((b, h, t, d)), jnp.float32)
+               for _ in range(3))
+    rate, seed = 0.2, 99
+
+    def loss_flash(q, k, v):
+        return (flash_attention(q, k, v, interpret=True, dropout_rate=rate,
+                                dropout_seed=seed) ** 2).sum()
+
+    def loss_ref(q, k, v):
+        out = _xla_dropout_attention(
+            q.reshape(b * h, t, d), k.reshape(b * h, t, d),
+            v.reshape(b * h, t, d), jnp.asarray([seed], jnp.int32),
+            d**-0.5, rate,
+        )
+        return (out ** 2).sum()
+
+    g1 = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    g2 = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b_ in zip(g1, g2):
+        rel = float(jnp.abs(a - b_.reshape(a.shape)).max() / (jnp.abs(b_).max() + 1e-9))
+        assert rel < 1e-4, rel
+
+
+def test_dropout_zero_equals_no_dropout():
+    rng = np.random.default_rng(7)
+    shape = (1, 2, 130, 16)
+    q, k, v = (jnp.asarray(rng.standard_normal(shape), jnp.float32) for _ in range(3))
+    a = flash_attention(q, k, v, interpret=True)
+    b_ = flash_attention(q, k, v, interpret=True, dropout_rate=0.0, dropout_seed=5)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b_))
+
+
+def test_model_trains_with_flash_dropout(tiny_config, tmp_path, monkeypatch):
+    """attn_impl='flash' + attention dropout end to end (CPU fallback applies
+    the same hash-mask dropout semantics)."""
+    from vit_tpu.train.loop import Experiment
+
+    monkeypatch.setenv("CKPT_DIR", str(tmp_path / "ckpt"))
+    cfg = dict(tiny_config)
+    cfg["model"] = dict(tiny_config["model"], attn_impl="flash",
+                        attention_probs_dropout_prob=0.2)
+    cfg["train"] = dict(tiny_config["train"], ep=1, batch_size=16)
+    cfg["opt"] = {"type": "AdamW", "lr": 1e-3, "lr_sch": "none"}
+    exp = Experiment(cfg, seed=0)
+    metrics = exp.fit()
+    assert np.isfinite(metrics["train_loss"])
 
 
 @pytest.mark.parametrize("t", [300, 257, 384, 130])

@@ -1,0 +1,110 @@
+"""Multi-host (DCN) initialization path + ViT-L/16 multi-host config.
+
+No second host exists in CI, so `maybe_initialize_distributed` is exercised
+with a mocked `jax.distributed.initialize`, and the v5p-16 ViT-L/16 training
+step is validated by LOWERING it over a (4 data x 2 model) mesh on the
+8-device CPU mesh (compilation-level check; tiny-shape execution is the
+driver dryrun's job).
+"""
+
+import jax
+import numpy as np
+import pytest
+
+from vit_tpu.parallel.mesh import maybe_initialize_distributed
+
+
+def test_distributed_init_noop_without_coordinator(monkeypatch):
+    monkeypatch.delenv("JAX_COORDINATOR_ADDRESS", raising=False)
+    called = []
+    monkeypatch.setattr(jax.distributed, "initialize", lambda *a, **k: called.append(1))
+    maybe_initialize_distributed()
+    assert called == []
+
+
+def test_distributed_init_called_under_coordinator(monkeypatch):
+    monkeypatch.setenv("JAX_COORDINATOR_ADDRESS", "10.0.0.1:1234")
+    called = []
+    monkeypatch.setattr(jax.distributed, "initialize", lambda *a, **k: called.append(1))
+    maybe_initialize_distributed()
+    assert called == [1]
+
+
+def test_distributed_init_failure_is_nonfatal(monkeypatch, capsys):
+    monkeypatch.setenv("JAX_COORDINATOR_ADDRESS", "10.0.0.1:1234")
+
+    def boom(*a, **k):
+        raise RuntimeError("already initialized")
+
+    monkeypatch.setattr(jax.distributed, "initialize", boom)
+    maybe_initialize_distributed()  # must not raise
+    assert "skipped" in capsys.readouterr().out
+
+
+def test_vit_l16_multihost_step_lowers():
+    """BASELINE config 5 shape: the ViT-L/16 training step lowers with real
+    dp x tp shardings (GSPMD propagation succeeds; no shape/sharding errors).
+    Lowering only — executing 300M params on the CPU mesh is the driver
+    dryrun's scaled-down job."""
+    import jax.numpy as jnp
+
+    from vit_tpu.models.builder import get_model
+    from vit_tpu.parallel.mesh import (
+        batch_sharding,
+        infer_param_shardings,
+        make_mesh,
+        replicated_sharding,
+    )
+    from vit_tpu.train.loop import TrainState, make_train_step
+    from vit_tpu.train.optim import OptSpec, build_optimizer
+
+    cfg = {
+        "project": "l16",
+        "model": {"name": "vit-l16", "task_type": "cls", "input_kind": "image",
+                  "image_size": 224, "num_labels": 1000, "num_channels": 3,
+                  "pos_encoding_type": "learned", "remat": True},
+        "train": {"batch_size": 32, "ep": 1, "precision": "bf16"},
+        "loss": {"name": "ce"},
+        "data": {},
+        "noise": {"noise_level": 0},
+    }
+    bundle = get_model(cfg)
+    mesh = make_mesh(num_devices=8, model_parallel=2)
+    repl = replicated_sharding(mesh)
+    bshard = batch_sharding(mesh)
+
+    dummy = jnp.zeros((1, 224, 224, 3), jnp.float32)
+    shapes = jax.eval_shape(
+        lambda: bundle.module.init(jax.random.PRNGKey(0), dummy)["params"]
+    )
+    param_sh = infer_param_shardings(shapes, mesh)
+    spec = OptSpec(lr=1e-3, opt_type="adamw", steps_per_epoch=1, total_epochs=1)
+    tx = build_optimizer(spec)
+    opt_shapes = jax.eval_shape(tx.init, shapes)
+
+    state_shapes = TrainState(
+        step=jax.ShapeDtypeStruct((), jnp.int32),
+        params=shapes,
+        opt_state=opt_shapes,
+        rng=jax.ShapeDtypeStruct((2,), jnp.uint32),
+        plateau_scale=jax.ShapeDtypeStruct((), jnp.float32),
+        frozen=jax.ShapeDtypeStruct((), jnp.float32),
+    )
+    state_sh = TrainState(
+        step=repl, params=param_sh,
+        opt_state=jax.tree_util.tree_map(lambda _: repl, opt_shapes),
+        rng=repl, plateau_scale=repl, frozen=repl,
+    )
+    batch_shapes = {
+        "x": jax.ShapeDtypeStruct((32, 224, 224, 3), jnp.float32),
+        "label": jax.ShapeDtypeStruct((32,), jnp.int32),
+    }
+    step = make_train_step(bundle, tx, spec, 0.0, state_sh, bshard,
+                           repl_sharding=repl)
+    with mesh:
+        lowered = step.lower(state_shapes, batch_shapes)
+    text = lowered.as_text()
+    assert "sharding" in text  # GSPMD annotations made it into the HLO
+    # 300M-param model: kernels really marked for the model axis
+    n_params = sum(np.prod(s.shape) for s in jax.tree_util.tree_leaves(shapes))
+    assert n_params > 250e6

@@ -17,9 +17,11 @@ Kernel dispatch (``impl``):
   (stride-1 sweeps reach ~4k tokens).
 * ``"auto"``  — flash when the shape is worth it, else xla (backend-
   independent; off-TPU the flash op falls back to identical XLA math).
-  Training with attention-probability dropout always takes the xla path —
-  the fused kernel has no probs to drop, and the reference applies dropout
-  there (`vit_with_rope.py:79-81`).
+  Attention-probability dropout (reference `vit_with_rope.py:79-81`) is
+  applied IN-KERNEL on the flash path via a counter-based hash mask — O(T)
+  memory even when training long sequences with dropout. The mask stream
+  differs from the xla path's ``nn.Dropout`` (semantic parity, as with all
+  RNG streams in this rebuild).
 
 Softmax always accumulates in fp32 regardless of compute dtype.
 """
@@ -43,20 +45,18 @@ def select_attn_impl(
 
     The resolution is backend-independent so a config traces the same graph
     on the CPU test mesh and on TPU (``flash_attention`` itself falls back
-    to identical XLA math off-TPU). When attention-probability dropout is
-    active (training with ``dropout_rate > 0``), flash is overridden to the
-    XLA path: the fused kernel never materializes probabilities, and
-    silently skipping probs dropout would train different math than the
-    reference (`/root/reference/src/models/vit_with_rope.py:79-81`).
+    to identical XLA math off-TPU). Attention-probability dropout is applied
+    IN-KERNEL on the flash path (counter-based mask, O(T) memory — reference
+    semantics `/root/reference/src/models/vit_with_rope.py:79-81`), so
+    ``dropout_active`` no longer changes the kernel choice.
     """
+    del dropout_active  # flash applies probs dropout in-kernel
     if impl == "auto":
         # Measured crossover on v5e: XLA's fused attention wins below ~2k
         # tokens; the Pallas kernel wins at the stride-1 sweep scale (~4k) —
         # but only when head_dim isn't dwarfed by the 128-lane padding
         # (d >= 64). Tiny baseline shapes always take the XLA path.
         impl = "flash" if (seq_len >= 2048 and head_dim >= 64) else "xla"
-    if impl == "flash" and dropout_active:
-        return "xla"
     return impl
 
 
@@ -119,9 +119,19 @@ class MultiHeadSelfAttention(nn.Module):
         if impl == "flash" and not capture_probs:
             from vit_tpu.ops.flash_attention import flash_attention
 
-            # dropout_active always routes to the XLA branch above, so the
-            # fused kernel only ever runs prob-dropout-free math.
-            context = flash_attention(q, k, v)
+            if dropout_active:
+                # Probs dropout applied IN-KERNEL (counter-based mask, O(T)
+                # memory): long-sequence training keeps reference dropout
+                # semantics without materializing (B, H, T, T) probabilities.
+                seed = jax.random.randint(
+                    self.make_rng("dropout"), (), 0,
+                    jnp.iinfo(jnp.int32).max, dtype=jnp.int32,
+                )
+                context = flash_attention(
+                    q, k, v, dropout_rate=self.dropout_rate, dropout_seed=seed
+                )
+            else:
+                context = flash_attention(q, k, v)
         elif impl in ("xla", "flash"):
             scale = head_dim**-0.5
             scores = jnp.einsum(

@@ -17,6 +17,16 @@ Design (single-chip; blocks sized for the ~16 MB VMEM budget):
   then two kernels re-deriving ``p = exp(s - lse)`` blockwise —
   dQ with k innermost, dK/dV with q innermost — each accumulating in VMEM
   scratch and writing once at the last inner step.
+* dropout (reference semantics: dropout applied to softmax probabilities,
+  `vit_with_rope.py:79-81`): a counter-based hash mask computed IN-KERNEL
+  from the global (seed, batch*head, row, col) — never materialized in HBM,
+  block-decomposition independent, so the forward and both backward kernels
+  regenerate bit-identical masks. The math: ``O = (P (.) M / keep) V`` with
+  the softmax denominator from the UNMASKED row sum;
+  ``ds = P (.) (dP (.) M/keep - D)`` with ``D = rowsum(dO (.) O)`` (the
+  usual flash D identity still holds — see the derivation in _flash_bwd).
+  Plain uint32 jnp ops, so the same mask is reproducible in pure jnp
+  (`hash_dropout_mask`) for exact CPU tests.
 * dtype: MXU matmuls run in the input dtype (bf16 in, fp32 accumulate);
   softmax statistics and accumulators are always fp32.
 * padding: head_dim to a multiple of 128, sequence to a multiple of the
@@ -26,8 +36,10 @@ Measured on v5e (f32, B*H=8, T=4096, d=64): forward 2.26 ms vs 3.31 ms for
 XLA's fused attention (1.46x); the XLA path wins below ~2k tokens, which is
 why ``select_attn_impl('auto')`` crosses over at 2048.
 
-Falls back to plain XLA attention (forward and backward) on non-TPU
-backends so the CPU test mesh exercises identical semantics.
+Falls back to plain XLA attention (forward and backward, including the
+identical hash-dropout mask) on non-TPU backends so the CPU test mesh
+exercises identical semantics; ``interpret=True`` runs the real Pallas
+kernels in interpreter mode for CI.
 """
 
 from __future__ import annotations
@@ -36,13 +48,22 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["flash_attention"]
+__all__ = ["flash_attention", "hash_dropout_mask"]
 
 NEG_INF = -1e30
 _STAT_LANES = 128  # lane width for per-row softmax statistics in VMEM
+
+# Knuth/Murmur multiplicative constants for the counter-based dropout hash.
+_H_ROW = 0x9E3779B1
+_H_COL = 0x85EBCA6B
+_H_BH = 0xC2B2AE35
+_H_SEED = 0x27D4EB2F
+_M1 = 0x85EBCA6B
+_M2 = 0xC2B2AE35
 
 
 def _cdiv(a: int, b: int) -> int:
@@ -67,13 +88,69 @@ def _fit_block(block: int, t_pad: int) -> int:
     return block
 
 
+def _keep_threshold(rate: float) -> np.uint32:
+    """uint32 threshold s.t. P(bits < threshold) = 1 - rate."""
+    keep = 1.0 - float(rate)
+    return np.uint32(min(0xFFFFFFFF, int(round(keep * 2.0**32))))
+
+
+def _hash_bits(rows, cols, bh, seed):
+    """Counter-based uint32 hash of (seed, bh, row, col); murmur3 finalizer.
+
+    ``rows``/``cols``: int32 arrays (broadcastable); ``bh``/``seed``: int32
+    scalars (traced OK). Pure jnp uint32 ops — identical on TPU Pallas,
+    interpret mode, and plain XLA.
+    """
+    u = lambda v: jax.lax.convert_element_type(v, jnp.uint32)  # noqa: E731
+    x = u(rows) * np.uint32(_H_ROW) ^ u(cols) * np.uint32(_H_COL)
+    x = x + u(bh) * np.uint32(_H_BH) + u(seed) * np.uint32(_H_SEED)
+    x = x ^ (x >> 16)
+    x = x * np.uint32(_M1)
+    x = x ^ (x >> 13)
+    x = x * np.uint32(_M2)
+    x = x ^ (x >> 16)
+    return x
+
+
+def hash_dropout_mask(t_q: int, t_k: int, bh, seed, rate: float) -> jnp.ndarray:
+    """The exact (t_q, t_k) keep-mask (0 or 1/keep) the kernels generate.
+
+    Pure-jnp reference for tests and the non-TPU fallback; ``bh`` is the
+    flattened batch*head index (scalar or (BH,) array -> adds a leading dim).
+    """
+    rows = jnp.arange(t_q, dtype=jnp.int32)[:, None]
+    cols = jnp.arange(t_k, dtype=jnp.int32)[None, :]
+    bh_arr = jnp.asarray(bh, jnp.int32)
+    if bh_arr.ndim == 1:
+        bits = _hash_bits(rows[None], cols[None], bh_arr[:, None, None], seed)
+    else:
+        bits = _hash_bits(rows, cols, bh_arr, seed)
+    keep = 1.0 - float(rate)
+    return jnp.where(bits < _keep_threshold(rate), 1.0 / keep, 0.0).astype(jnp.float32)
+
+
+def _block_mask(qi, kj, block_q, block_k, bh, seed, rate: float):
+    """In-kernel (block_q, block_k) keep-mask for block (bh, qi, kj)."""
+    rows = qi * block_q + jax.lax.broadcasted_iota(
+        jnp.int32, (block_q, block_k), 0
+    )
+    cols = kj * block_k + jax.lax.broadcasted_iota(
+        jnp.int32, (block_q, block_k), 1
+    )
+    bits = _hash_bits(rows, cols, bh, seed)
+    keep = 1.0 - float(rate)
+    return jnp.where(bits < _keep_threshold(rate), 1.0 / keep, 0.0).astype(jnp.float32)
+
+
 # ---------------------------------------------------------------------------
 # forward
 # ---------------------------------------------------------------------------
 def _flash_fwd_kernel(
-    q_ref, k_ref, v_ref, o_ref, lse_ref, acc_ref, m_ref, l_ref,
-    *, scale: float, seq_len: int,
+    seed_ref, q_ref, k_ref, v_ref, o_ref, lse_ref, acc_ref, m_ref, l_ref,
+    *, scale: float, seq_len: int, dropout_rate: float,
 ):
+    bh = pl.program_id(0)
+    qi = pl.program_id(1)
     kb = pl.program_id(2)
     num_kb = pl.num_programs(2)
     block_q, _ = acc_ref.shape
@@ -98,7 +175,11 @@ def _flash_fwd_kernel(
     m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
     p = jnp.exp(s - m_new)
     alpha = jnp.exp(m_prev - m_new)
+    # Softmax denominator accumulates the UNMASKED sum (dropout applies to
+    # the normalized probabilities, not the logits).
     l_new = l_prev * alpha + jnp.sum(p, axis=-1, keepdims=True)
+    if dropout_rate > 0.0:
+        p = p * _block_mask(qi, kb, block_q, block_k, bh, seed_ref[0], dropout_rate)
     acc_ref[:] = acc_ref[:] * alpha + jnp.dot(
         p.astype(v.dtype), v, preferred_element_type=jnp.float32
     )
@@ -112,16 +193,19 @@ def _flash_fwd_kernel(
         lse_ref[0] = m_ref[:, :1] + jnp.log(l_final)
 
 
-def _flash_fwd(q, k, v, block_q: int, block_k: int, scale: float, seq_len: int,
-               interpret: bool = False):
+def _flash_fwd(q, k, v, seed, block_q: int, block_k: int, scale: float,
+               seq_len: int, dropout_rate: float, interpret: bool = False):
     """(BH, T, d) x3 -> (o (BH, T, d), lse (BH, T, 1)); T/d pre-padded."""
     bh, t_pad, d = q.shape
     grid = (bh, t_pad // block_q, t_pad // block_k)
-    kernel = functools.partial(_flash_fwd_kernel, scale=scale, seq_len=seq_len)
+    kernel = functools.partial(
+        _flash_fwd_kernel, scale=scale, seq_len=seq_len, dropout_rate=dropout_rate
+    )
     return pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((1, block_q, d), lambda b, i, j: (b, i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, block_k, d), lambda b, i, j: (b, j, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, block_k, d), lambda b, i, j: (b, j, 0), memory_space=pltpu.VMEM),
@@ -146,19 +230,31 @@ def _flash_fwd(q, k, v, block_q: int, block_k: int, scale: float, seq_len: int,
             transcendentals=bh * t_pad * t_pad,
         ),
         interpret=interpret,
-    )(q, k, v)
+    )(seed, q, k, v)
 
 
 # ---------------------------------------------------------------------------
 # backward
 # ---------------------------------------------------------------------------
+# Dropout backward derivation (why the flash D identity survives the mask):
+# O_i = sum_j Ptil_ij v_j with Ptil = P (.) M/keep and the UNMASKED row sum
+# as denominator. dV = Ptil^T dO. dPtil = dO V^T, so dP = dPtil (.) M/keep.
+# Softmax bwd: ds_i = P_i (.) (dP_i - sum_j dP_ij P_ij); the inner sum is
+# sum_j (dO_i . v_j) (M_ij/keep) P_ij = dO_i . sum_j Ptil_ij v_j = dO_i . O_i
+# = D_i — exactly the maskless flash identity, because the mask is already
+# folded into O.
+
+
 def _flash_bwd_dq_kernel(
-    q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref, acc_ref,
-    *, scale: float, seq_len: int,
+    seed_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref, acc_ref,
+    *, scale: float, seq_len: int, dropout_rate: float,
 ):
     """Grid (bh, q_block, k_block): accumulate dQ over key blocks."""
+    bh = pl.program_id(0)
+    qi = pl.program_id(1)
     kb = pl.program_id(2)
     num_kb = pl.num_programs(2)
+    block_q = q_ref.shape[1]
     block_k = k_ref.shape[1]
 
     @pl.when(kb == 0)
@@ -174,6 +270,8 @@ def _flash_bwd_dq_kernel(
     s = jnp.where(key_idx < seq_len, s, NEG_INF)
     p = jnp.exp(s - lse_ref[0])  # (bq, bk); lse block is (bq, 1)
     dp = jnp.dot(do, v.T, preferred_element_type=jnp.float32)
+    if dropout_rate > 0.0:
+        dp = dp * _block_mask(qi, kb, block_q, block_k, bh, seed_ref[0], dropout_rate)
     ds = p * (dp - delta_ref[0])  # delta block is (bq, 1)
     acc_ref[:] = acc_ref[:] + jnp.dot(
         ds.astype(k.dtype), k, preferred_element_type=jnp.float32
@@ -185,13 +283,15 @@ def _flash_bwd_dq_kernel(
 
 
 def _flash_bwd_dkv_kernel(
-    q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dk_ref, dv_ref,
-    dk_acc, dv_acc, *, scale: float, seq_len: int,
+    seed_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dk_ref, dv_ref,
+    dk_acc, dv_acc, *, scale: float, seq_len: int, dropout_rate: float,
 ):
     """Grid (bh, k_block, q_block): accumulate dK/dV over query blocks."""
+    bh = pl.program_id(0)
+    kb = pl.program_id(1)
     qb = pl.program_id(2)
     num_qb = pl.num_programs(2)
-    kb = pl.program_id(1)
+    block_q = q_ref.shape[1]
     block_k = k_ref.shape[1]
 
     @pl.when(qb == 0)
@@ -207,10 +307,17 @@ def _flash_bwd_dkv_kernel(
     key_idx = kb * block_k + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
     s = jnp.where(key_idx < seq_len, s, NEG_INF)
     p = jnp.exp(s - lse_ref[0])  # (bq, bk)
+    if dropout_rate > 0.0:
+        mask = _block_mask(qb, kb, block_q, block_k, bh, seed_ref[0], dropout_rate)
+        p_masked = p * mask
+    else:
+        p_masked = p
     dv_acc[:] = dv_acc[:] + jnp.dot(
-        p.astype(do.dtype).T, do, preferred_element_type=jnp.float32
+        p_masked.astype(do.dtype).T, do, preferred_element_type=jnp.float32
     )
     dp = jnp.dot(do, v.T, preferred_element_type=jnp.float32)
+    if dropout_rate > 0.0:
+        dp = dp * mask
     ds = p * (dp - delta_ref[0])
     dk_acc[:] = dk_acc[:] + jnp.dot(
         ds.astype(q.dtype).T, q_ref[0], preferred_element_type=jnp.float32
@@ -222,22 +329,26 @@ def _flash_bwd_dkv_kernel(
         dv_ref[0] = dv_acc[:].astype(dv_ref.dtype)
 
 
-def _flash_bwd(q, k, v, o, lse, do, block_q, block_k, scale, seq_len,
-               interpret=False):
+def _flash_bwd(q, k, v, o, lse, do, seed, block_q, block_k, scale, seq_len,
+               dropout_rate, interpret=False):
     bh, t_pad, d = q.shape
     # D_i = sum_d dO_i * O_i  — cheap elementwise reduce in XLA, fp32.
     delta = jnp.sum(
         do.astype(jnp.float32) * o.astype(jnp.float32), axis=-1, keepdims=True
     )  # (bh, t_pad, 1)
 
+    seed_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
     row_spec_q = pl.BlockSpec((1, block_q, 1), lambda b, i, j: (b, i, 0), memory_space=pltpu.VMEM)
     q_spec = pl.BlockSpec((1, block_q, d), lambda b, i, j: (b, i, 0), memory_space=pltpu.VMEM)
     k_spec = pl.BlockSpec((1, block_k, d), lambda b, i, j: (b, j, 0), memory_space=pltpu.VMEM)
 
     dq = pl.pallas_call(
-        functools.partial(_flash_bwd_dq_kernel, scale=scale, seq_len=seq_len),
+        functools.partial(
+            _flash_bwd_dq_kernel, scale=scale, seq_len=seq_len,
+            dropout_rate=dropout_rate,
+        ),
         grid=(bh, t_pad // block_q, t_pad // block_k),
-        in_specs=[q_spec, k_spec, k_spec, q_spec, row_spec_q, row_spec_q],
+        in_specs=[seed_spec, q_spec, k_spec, k_spec, q_spec, row_spec_q, row_spec_q],
         out_specs=q_spec,
         out_shape=jax.ShapeDtypeStruct((bh, t_pad, d), q.dtype),
         scratch_shapes=[pltpu.VMEM((block_q, d), jnp.float32)],
@@ -248,16 +359,19 @@ def _flash_bwd(q, k, v, o, lse, do, block_q, block_k, scale, seq_len,
             transcendentals=bh * t_pad * t_pad,
         ),
         interpret=interpret,
-    )(q, k, v, do, lse, delta)
+    )(seed, q, k, v, do, lse, delta)
 
     # dK/dV: iterate query blocks innermost; q/do/lse/delta indexed by j.
     qj_spec = pl.BlockSpec((1, block_q, d), lambda b, i, j: (b, j, 0), memory_space=pltpu.VMEM)
     rowj_spec = pl.BlockSpec((1, block_q, 1), lambda b, i, j: (b, j, 0), memory_space=pltpu.VMEM)
     ki_spec = pl.BlockSpec((1, block_k, d), lambda b, i, j: (b, i, 0), memory_space=pltpu.VMEM)
     dk, dv = pl.pallas_call(
-        functools.partial(_flash_bwd_dkv_kernel, scale=scale, seq_len=seq_len),
+        functools.partial(
+            _flash_bwd_dkv_kernel, scale=scale, seq_len=seq_len,
+            dropout_rate=dropout_rate,
+        ),
         grid=(bh, t_pad // block_k, t_pad // block_q),
-        in_specs=[qj_spec, ki_spec, ki_spec, qj_spec, rowj_spec, rowj_spec],
+        in_specs=[seed_spec, qj_spec, ki_spec, ki_spec, qj_spec, rowj_spec, rowj_spec],
         out_specs=(ki_spec, ki_spec),
         out_shape=(
             jax.ShapeDtypeStruct((bh, t_pad, d), k.dtype),
@@ -274,7 +388,7 @@ def _flash_bwd(q, k, v, o, lse, do, block_q, block_k, scale, seq_len,
             transcendentals=bh * t_pad * t_pad,
         ),
         interpret=interpret,
-    )(q, k, v, do, lse, delta)
+    )(seed, q, k, v, do, lse, delta)
     return dq, dk, dv
 
 
@@ -284,6 +398,18 @@ def _flash_bwd(q, k, v, o, lse, do, block_q, block_k, scale, seq_len,
 def _xla_attention(q, k, v, scale):
     s = jnp.einsum("bqd,bkd->bqk", q, k, preferred_element_type=jnp.float32) * scale
     p = jax.nn.softmax(s, axis=-1)
+    return jnp.einsum("bqk,bkd->bqd", p.astype(q.dtype), v)
+
+
+def _xla_dropout_attention(q, k, v, seed, scale, rate):
+    """Plain differentiable jnp attention with the SAME hash-dropout mask the
+    Pallas kernels generate — the non-TPU fallback for dropout training and
+    the exact reference for kernel tests. O(T^2) memory (fallback only)."""
+    bh, t, _ = q.shape
+    s = jnp.einsum("bqd,bkd->bqk", q, k, preferred_element_type=jnp.float32) * scale
+    p = jax.nn.softmax(s, axis=-1)
+    mask = hash_dropout_mask(t, t, jnp.arange(bh, dtype=jnp.int32), seed[0], rate)
+    p = p * mask
     return jnp.einsum("bqk,bkd->bqd", p.astype(q.dtype), v)
 
 
@@ -304,25 +430,29 @@ def _xla_bwd(q, k, v, do, scale, seq_len):
 # ---------------------------------------------------------------------------
 # custom_vjp wiring
 # ---------------------------------------------------------------------------
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
-def _flash_attention_core(q, k, v, params):
-    block_q, block_k, scale, seq_len, interpret = params
-    o, _ = _flash_fwd(q, k, v, block_q, block_k, scale, seq_len, interpret)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+def _flash_attention_core(q, k, v, seed, params):
+    block_q, block_k, scale, seq_len, interpret, rate = params
+    o, _ = _flash_fwd(q, k, v, seed, block_q, block_k, scale, seq_len, rate,
+                      interpret)
     return o
 
 
-def _core_fwd(q, k, v, params):
-    block_q, block_k, scale, seq_len, interpret = params
-    o, lse = _flash_fwd(q, k, v, block_q, block_k, scale, seq_len, interpret)
-    return o, (q, k, v, o, lse)
+def _core_fwd(q, k, v, seed, params):
+    block_q, block_k, scale, seq_len, interpret, rate = params
+    o, lse = _flash_fwd(q, k, v, seed, block_q, block_k, scale, seq_len, rate,
+                        interpret)
+    return o, (q, k, v, seed, o, lse)
 
 
 def _core_bwd(params, res, g):
-    block_q, block_k, scale, seq_len, interpret = params
-    q, k, v, o, lse = res
-    return _flash_bwd(
-        q, k, v, o, lse, g, block_q, block_k, scale, seq_len, interpret
+    block_q, block_k, scale, seq_len, interpret, rate = params
+    q, k, v, seed, o, lse = res
+    dq, dk, dv = _flash_bwd(
+        q, k, v, o, lse, g, seed, block_q, block_k, scale, seq_len, rate,
+        interpret,
     )
+    return dq, dk, dv, np.zeros(seed.shape, dtype=jax.dtypes.float0)
 
 
 _flash_attention_core.defvjp(_core_fwd, _core_bwd)
@@ -355,6 +485,8 @@ def flash_attention(
     block_q: int = 256,
     block_k: int = 512,
     interpret: bool = False,
+    dropout_rate: float = 0.0,
+    dropout_seed=None,
 ) -> jnp.ndarray:
     """Fused attention. ``q, k, v``: (B, H, T, d) -> (B, H, T, d).
 
@@ -362,14 +494,28 @@ def flash_attention(
     differentiable (fused Pallas forward AND backward on TPU; XLA fallback
     elsewhere). ``interpret=True`` forces the Pallas kernels in interpreter
     mode so CI (CPU) exercises the real kernel logic, not the fallback.
+
+    ``dropout_rate > 0`` applies dropout to the softmax probabilities
+    (reference training semantics) via an in-kernel counter-based mask —
+    O(T) memory is preserved. ``dropout_seed`` (int32 scalar, typically
+    drawn from the step's dropout RNG) selects the mask; the same
+    (seed, rate) always produces the same mask.
     """
     b, h, t, d = q.shape
     scale = d**-0.5
+    rate = float(dropout_rate)
+    if rate > 0.0 and dropout_seed is None:
+        raise ValueError("dropout_rate > 0 requires dropout_seed")
+    seed_arr = jnp.reshape(
+        jnp.asarray(dropout_seed if dropout_seed is not None else 0, jnp.int32),
+        (1,),
+    )
     if jax.default_backend() != "tpu" and not interpret:
-        bhq = q.reshape(b * h, t, d)
-        out = _xla_attention_core(
-            bhq, k.reshape(b * h, t, d), v.reshape(b * h, t, d), (0, 0, scale, t)
-        )
+        bhq, bhk, bhv = (x.reshape(b * h, t, d) for x in (q, k, v))
+        if rate > 0.0:
+            out = _xla_dropout_attention(bhq, bhk, bhv, seed_arr, scale, rate)
+        else:
+            out = _xla_attention_core(bhq, bhk, bhv, (0, 0, scale, t))
         return out.reshape(b, h, t, d)
 
     # Both blocks must divide the padded length or the grid would skip the
@@ -384,6 +530,7 @@ def flash_attention(
         return jnp.pad(x, ((0, 0), (0, t_pad - t), (0, d_pad - d)))
 
     out = _flash_attention_core(
-        prep(q), prep(k), prep(v), (block_q, block_k, scale, t, interpret)
+        prep(q), prep(k), prep(v), seed_arr,
+        (block_q, block_k, scale, t, interpret, rate),
     )
     return out[:, :t, :d].reshape(b, h, t, d)
