@@ -92,3 +92,29 @@ def test_predict_restores_non_adamw_optimizer(tiny_config, tmp_path, monkeypatch
     pred = Predictor.from_checkpoint(dict(cfg), ckpt="last", batch_size=16)
     out = pred.predict(exp.datamodule.val.flux[:8])
     assert out.shape == (8, 1) and np.isfinite(out).all()
+
+
+def test_predict_cli(trained, tmp_path, monkeypatch):
+    """scripts/predict.py end to end: config + ckpt + h5 -> predictions.npz."""
+    import subprocess
+    import sys
+
+    exp, cfg = trained
+    cfg_path = tmp_path / "cfg.yaml"
+    with open(cfg_path, "w") as f:
+        yaml.safe_dump(cfg, f)
+    out_path = tmp_path / "preds.npz"
+    env = dict(__import__("os").environ)
+    # keep the subprocess on CPU (axon TPU plugin registers via env)
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    env["JAX_PLATFORMS"] = "cpu"
+    proc = subprocess.run(
+        [sys.executable, "scripts/predict.py", "-f", str(cfg_path),
+         "--ckpt", "last", "--input", cfg["data"]["test_path"],
+         "--output", str(out_path), "--limit", "16"],
+        capture_output=True, text=True, env=env, cwd="/root/repo", timeout=600,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    with np.load(out_path) as z:
+        preds = z["predictions"]
+    assert preds.shape == (16, 1) and np.isfinite(preds).all()

@@ -76,6 +76,7 @@ class MultiHeadSelfAttention(nn.Module):
     impl: str = "auto"
     dtype: jnp.dtype = jnp.float32
     qkv_bias: bool = True
+    fast_dropout: bool = True  # counter-based masks (vit_tpu.ops.dropout)
 
     @nn.compact
     def __call__(
@@ -145,7 +146,7 @@ class MultiHeadSelfAttention(nn.Module):
                 # memory discipline at stride-1 (~4k tokens).
                 self.sow("intermediates", "attention_probs", probs.mean(axis=0))
             probs = probs.astype(self.dtype)
-            probs = nn.Dropout(rate=self.dropout_rate, name="attn_dropout")(
+            probs = self._dropout("attn_dropout")(
                 probs, deterministic=deterministic
             )
             context = jnp.einsum("bhqk,bhkd->bhqd", probs, v)
@@ -156,7 +157,14 @@ class MultiHeadSelfAttention(nn.Module):
         out = nn.Dense(
             self.hidden_size, dtype=self.dtype, kernel_init=KERNEL_INIT, name="out"
         )(context)
-        out = nn.Dropout(rate=self.dropout_rate, name="out_dropout")(
+        out = self._dropout("out_dropout")(
             out, deterministic=deterministic
         )
         return out
+
+    def _dropout(self, name: str) -> nn.Module:
+        if self.fast_dropout:
+            from vit_tpu.ops.dropout import HashDropout
+
+            return HashDropout(rate=self.dropout_rate, name=name)
+        return nn.Dropout(rate=self.dropout_rate, name=name)

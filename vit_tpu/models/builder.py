@@ -90,6 +90,10 @@ class VitConfig:
     attn_impl: str = "auto"  # 'xla' | 'flash' | 'auto'
     precision: str = "float32"  # compute dtype name
     remat: bool = False
+    # Counter-based dropout masks (vit_tpu.ops.dropout): ~10% faster epochs
+    # on the dispatch-bound baseline; different RNG stream than nn.Dropout
+    # (semantic parity). Set model.fast_dropout: false for threefry/rbg.
+    fast_dropout: bool = True
 
     @property
     def dtype(self):
@@ -214,6 +218,7 @@ def get_vit_config(config: dict) -> VitConfig:
         attn_impl=m.get("attn_impl", "auto"),
         precision=str(t.get("precision", "float32")),
         remat=bool(m.get("remat", False)),
+        fast_dropout=bool(m.get("fast_dropout", True)),
     )
 
 

@@ -50,9 +50,21 @@ __all__ = [
     "ViTEncoder",
     "SpecViT",
     "compute_loss",
+    "make_dropout",
 ]
 
 LN_EPS = 1e-12  # HF ViTConfig layer_norm_eps
+
+
+def make_dropout(cfg: Any, rate: float, name: str) -> nn.Module:
+    """Dropout module per the config: counter-based hash masks (fast, the
+    default) or ``nn.Dropout`` (``model.fast_dropout: false``). Both are
+    parameter-free and draw from the ``dropout`` RNG collection."""
+    if getattr(cfg, "fast_dropout", False):
+        from vit_tpu.ops.dropout import HashDropout
+
+        return HashDropout(rate=rate, name=name)
+    return nn.Dropout(rate=rate, name=name)
 
 
 class SpectraEmbeddings(nn.Module):
@@ -100,7 +112,7 @@ class SpectraEmbeddings(nn.Module):
             )
             tokens = tokens + pos.astype(tokens.dtype)
         # 'rope' is applied inside attention; 'none'/None adds nothing.
-        return nn.Dropout(rate=cfg.hidden_dropout, name="dropout")(
+        return make_dropout(cfg, cfg.hidden_dropout, "dropout")(
             tokens, deterministic=deterministic
         )
 
@@ -147,7 +159,7 @@ class ImageEmbeddings(nn.Module):
                 (1, tokens.shape[1], cfg.hidden_size),
             )
             tokens = tokens + pos.astype(tokens.dtype)
-        return nn.Dropout(rate=cfg.hidden_dropout, name="dropout")(
+        return make_dropout(cfg, cfg.hidden_dropout, "dropout")(
             tokens, deterministic=deterministic
         )
 
@@ -175,6 +187,7 @@ class ViTLayer(nn.Module):
             impl=cfg.attn_impl,
             dtype=cfg.dtype,
             qkv_bias=cfg.qkv_bias,
+            fast_dropout=getattr(cfg, "fast_dropout", True),
             name="attention",
         )
         x = x + attn(h, deterministic=deterministic, capture_probs=capture)
@@ -189,7 +202,7 @@ class ViTLayer(nn.Module):
         h = nn.Dense(
             cfg.hidden_size, dtype=cfg.dtype, kernel_init=KERNEL_INIT, name="output"
         )(h)
-        h = nn.Dropout(rate=cfg.hidden_dropout, name="dropout")(
+        h = make_dropout(cfg, cfg.hidden_dropout, "dropout")(
             h, deterministic=deterministic
         )
         return x + h
