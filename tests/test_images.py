@@ -188,3 +188,31 @@ def test_image_pca_basis_dim_mismatch(tmp_path):
     }
     with _pytest.raises(ValueError, match="patch dim"):
         get_model(cfg)
+
+
+def test_image_fused_val_single_shard(tmp_path, monkeypatch):
+    """Single-data-shard mesh takes the fused-val dispatch path; ImageDataset
+    must expose the SpecDataset model_input interface (caught live by the
+    TPU CLI drive — CPU tests run 8 shards and short-circuited the gate)."""
+    from vit_tpu.train.loop import Experiment
+
+    monkeypatch.setenv("CKPT_DIR", str(tmp_path / "ckpt"))
+    cfg = {
+        "project": "img-fused-val",
+        "model": {
+            "name": "vit", "task_type": "cls", "input_kind": "image",
+            "image_size": 32, "patch_size": 8, "hidden_size": 32,
+            "num_hidden_layers": 2, "num_attention_heads": 2,
+            "num_labels": 10, "num_channels": 3, "pos_encoding_type": "learned",
+        },
+        "train": {"batch_size": 32, "ep": 2, "save": False},
+        "loss": {"name": "ce"},
+        "opt": {"type": "AdamW", "lr": 3e-3, "lr_sch": "none"},
+        "data": {"num_samples": 128, "num_test_samples": 64},
+        "noise": {"noise_level": 0},
+        "viz": {"enable": False},
+    }
+    exp = Experiment(cfg, seed=0, num_devices=1)
+    assert exp.mesh.shape.get("data") == 1
+    metrics = exp.fit()
+    assert "val_acc" in metrics and np.isfinite(metrics["val_loss"])

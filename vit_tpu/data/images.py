@@ -118,6 +118,12 @@ class ImageDataset:
     def __len__(self) -> int:
         return 0 if self.images is None else len(self.images)
 
+    @property
+    def model_input(self) -> np.ndarray:
+        """What the model consumes (SpecDataset-interface parity: the
+        fused-val training path reads this for whole-split forwards)."""
+        return self.images
+
     def arrays(self) -> Dict[str, np.ndarray]:
         return {"x": self.images, "label": self.labels}
 
