@@ -90,3 +90,40 @@ def test_epochs_per_dispatch_tail_and_early_stop(tiny_config, tmp_path, monkeypa
     # checkpoints exist (block-boundary granularity)
     import os
     assert os.path.exists(exp.ckpt.last_path)
+
+
+def test_gradient_accumulation_matches_full_batch(tiny_config, tmp_path, monkeypatch):
+    """accumulate_steps=4 reproduces the exact full-batch update when
+    stochasticity is off (mean of equal-size chunk gradients == batch mean)."""
+    import jax
+    import numpy as np
+
+    from vit_tpu.train.loop import Experiment
+
+    monkeypatch.setenv("CKPT_DIR", str(tmp_path / "ckpt"))
+
+    def run(accum):
+        cfg = dict(tiny_config)
+        cfg["model"] = dict(tiny_config["model"], hidden_dropout_prob=0.0,
+                            attention_probs_dropout_prob=0.0)
+        cfg["train"] = dict(tiny_config["train"], ep=2, batch_size=16,
+                            accumulate_steps=accum)
+        cfg["opt"] = {"type": "AdamW", "lr": 1e-3, "lr_sch": "none"}
+        exp = Experiment(cfg, seed=0)
+        metrics = exp.fit()
+        return metrics, jax.device_get(exp.state.params)
+
+    m1, p1 = run(1)
+    m4, p4 = run(4)
+    assert m1["val_mae"] == pytest.approx(m4["val_mae"], abs=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(p1), jax.tree_util.tree_leaves(p4)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def test_gradient_accumulation_divisibility_checked(tiny_config):
+    from vit_tpu.train.loop import Experiment
+
+    cfg = dict(tiny_config)
+    cfg["train"] = dict(tiny_config["train"], batch_size=16, accumulate_steps=3)
+    with pytest.raises(ValueError, match="accumulate_steps"):
+        Experiment(cfg, seed=0)

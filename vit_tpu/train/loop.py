@@ -89,6 +89,66 @@ def _mask_preprocessor(tree: Any, keep: jnp.ndarray) -> Any:
     return jax.tree_util.tree_map_with_path(mask, tree)
 
 
+def _make_grads_fn(bundle: ModelBundle, noise_level: float, accum_steps: int = 1):
+    """(params, batch, noise_rng, dropout_rng) -> (loss, grads), shared by the
+    per-step and fused-epoch paths.
+
+    ``accum_steps > 1`` (``train.accumulate_steps``) chunks the optimizer
+    batch into micro-batches scanned sequentially, averaging grads/losses —
+    the large-batch update with 1/A of the activation memory. Each chunk
+    draws its own noise/dropout fold; with stochasticity off the result is
+    exactly the unaccumulated large-batch gradient (mean of equal-size chunk
+    means).
+    """
+    module = bundle.module
+    task = bundle.vit_config.task_type
+    loss_name = bundle.loss_name
+
+    def loss_of(params, batch, noise_rng, dropout_rng):
+        x = batch["x"]
+        if noise_level > 0 and "error" in batch:
+            x = x + jax.random.normal(noise_rng, x.shape, x.dtype) * batch["error"] * noise_level
+        logits = module.apply(
+            {"params": params}, x, deterministic=False, rngs={"dropout": dropout_rng}
+        )
+        return compute_loss(logits, batch["label"], task, loss_name)
+
+    if accum_steps <= 1:
+        def grads_fn(params, batch, noise_rng, dropout_rng):
+            return jax.value_and_grad(loss_of)(params, batch, noise_rng, dropout_rng)
+
+        return grads_fn
+
+    def grads_fn(params, batch, noise_rng, dropout_rng):
+        b = batch["x"].shape[0]
+        if b % accum_steps != 0:
+            raise ValueError(
+                f"batch {b} not divisible by accumulate_steps {accum_steps}"
+            )
+        mb = b // accum_steps
+        chunks = {
+            k: v.reshape((accum_steps, mb) + v.shape[1:]) for k, v in batch.items()
+        }
+        nkeys = jax.random.split(noise_rng, accum_steps)
+        dkeys = jax.random.split(dropout_rng, accum_steps)
+
+        def body(carry, xs):
+            loss_sum, gsum = carry
+            chunk, nk, dk = xs
+            loss, grads = jax.value_and_grad(loss_of)(params, chunk, nk, dk)
+            gsum = jax.tree_util.tree_map(lambda a, g: a + g, gsum, grads)
+            return (loss_sum + loss, gsum), None
+
+        zeros = jax.tree_util.tree_map(lambda p: jnp.zeros_like(p, jnp.float32), params)
+        (loss_sum, gsum), _ = jax.lax.scan(
+            body, (jnp.zeros((), jnp.float32), zeros), (chunks, nkeys, dkeys)
+        )
+        inv = 1.0 / accum_steps
+        return loss_sum * inv, jax.tree_util.tree_map(lambda g: g * inv, gsum)
+
+    return grads_fn
+
+
 def make_train_step(
     bundle: ModelBundle,
     tx,
@@ -97,6 +157,7 @@ def make_train_step(
     state_sharding=None,
     batch_sharding_=None,
     repl_sharding=None,
+    accum_steps: int = 1,
 ) -> Callable:
     """Build the jitted training step. Donates the state for in-place HBM reuse.
 
@@ -104,25 +165,13 @@ def make_train_step(
     the plateau/freeze scalars (uncommitted arrays) would otherwise flip the
     committed-ness part of the jit cache key and recompile every epoch.
     """
-    module = bundle.module
     schedule = schedule_scale(spec)
-    task = bundle.vit_config.task_type
-    loss_name = bundle.loss_name
     has_preproc = bundle.has_preprocessor
+    grads_fn = _make_grads_fn(bundle, noise_level, accum_steps)
 
     def train_step(state: TrainState, batch: Dict[str, jnp.ndarray]):
         rng, noise_rng, dropout_rng = jax.random.split(state.rng, 3)
-        x = batch["x"]
-        if noise_level > 0 and "error" in batch:
-            x = x + jax.random.normal(noise_rng, x.shape, x.dtype) * batch["error"] * noise_level
-
-        def loss_fn(params):
-            logits = module.apply(
-                {"params": params}, x, deterministic=False, rngs={"dropout": dropout_rng}
-            )
-            return compute_loss(logits, batch["label"], task, loss_name)
-
-        loss, grads = jax.value_and_grad(loss_fn)(state.params)
+        loss, grads = grads_fn(state.params, batch, noise_rng, dropout_rng)
         if has_preproc:
             keep = 1.0 - state.frozen
             grads = _mask_preprocessor(grads, keep)
@@ -163,6 +212,7 @@ def make_train_epoch(
     with_val: bool = False,
     repl_sharding=None,
     n_epochs: int = 1,
+    accum_steps: int = 1,
 ) -> Callable:
     """Whole-epoch training as ONE dispatch: ``lax.scan`` over steps.
 
@@ -189,24 +239,12 @@ def make_train_epoch(
     """
     module = bundle.module
     schedule = schedule_scale(spec)
-    task = bundle.vit_config.task_type
-    loss_name = bundle.loss_name
     has_preproc = bundle.has_preprocessor
+    grads_fn = _make_grads_fn(bundle, noise_level, accum_steps)
 
     def one_step(state, batch):
         rng, noise_rng, dropout_rng = jax.random.split(state.rng, 3)
-        x = batch["x"]
-        if noise_level > 0 and "error" in batch:
-            x = x + jax.random.normal(noise_rng, x.shape, x.dtype) * batch["error"] * noise_level
-
-        def loss_fn(params):
-            logits = module.apply(
-                {"params": params}, x, deterministic=False,
-                rngs={"dropout": dropout_rng},
-            )
-            return compute_loss(logits, batch["label"], task, loss_name)
-
-        loss, grads = jax.value_and_grad(loss_fn)(state.params)
+        loss, grads = grads_fn(state.params, batch, noise_rng, dropout_rng)
         if has_preproc:
             grads = _mask_preprocessor(grads, 1.0 - state.frozen)
         lr = spec.lr * schedule(state.step) * state.plateau_scale
@@ -373,6 +411,14 @@ class Experiment:
         self.save = bool(train_cfg.get("save", False))
         self.batch_size = int(train_cfg.get("batch_size", 64))
         self.noise_level = float((config.get("noise", {}) or {}).get("noise_level", 0) or 0)
+        # Gradient accumulation: optimizer batch = batch_size, computed as
+        # accumulate_steps sequential micro-batches (1/A activation memory).
+        self.accum_steps = int(train_cfg.get("accumulate_steps", 1) or 1)
+        if self.batch_size % self.accum_steps != 0:
+            raise ValueError(
+                f"train.batch_size {self.batch_size} must divide by "
+                f"train.accumulate_steps {self.accum_steps}"
+            )
         # Profiling (SURVEY §5: expose jax.profiler behind a config flag).
         profile = train_cfg.get("profile")
         self.profile_dir: Optional[str] = None
@@ -660,6 +706,7 @@ class Experiment:
                 self.bundle, tx, spec, self.noise_level, self.batch_size,
                 steps_per_epoch, self.state_shard, batch_constraint,
                 with_val=fused_val, repl_sharding=self.repl_shard,
+                accum_steps=self.accum_steps,
             )
             # Multi-epoch blocks (train.epochs_per_dispatch > 1): N epochs in
             # ONE dispatch, amortizing the host round-trip. Per-epoch val
@@ -677,7 +724,7 @@ class Experiment:
                     self.bundle, tx, spec, self.noise_level, self.batch_size,
                     steps_per_epoch, self.state_shard, batch_constraint,
                     with_val=fused_val, repl_sharding=self.repl_shard,
-                    n_epochs=epd,
+                    n_epochs=epd, accum_steps=self.accum_steps,
                 )
                 if use_blocks
                 else None
@@ -694,6 +741,7 @@ class Experiment:
             train_step = make_train_step(
                 self.bundle, tx, spec, self.noise_level, self.state_shard,
                 self.batch_shard, repl_sharding=self.repl_shard,
+                accum_steps=self.accum_steps,
             )
 
         start_epoch = 0
