@@ -147,3 +147,41 @@ def test_conv1d_tokenizer_layout(tmp_path):
         np.asarray(restored["embeddings"]["patch_embeddings"]["projection"]["kernel"]),
         np.asarray(params["embeddings"]["patch_embeddings"]["projection"]["kernel"]),
     )
+
+
+def test_load_hf_image_vit_checkpoint_numerical_parity():
+    """A full transformers ViTForImageClassification state dict loads into
+    the image ViT and reproduces the torch forward numerically — i.e.
+    pretrained HF image-ViT checkpoints (vit-base-patch16-224-style .pt
+    files) are directly usable."""
+    import torch
+    from transformers import ViTConfig as HFViTConfig
+    from transformers import ViTForImageClassification
+
+    hf_cfg = HFViTConfig(
+        image_size=32, patch_size=8, num_channels=3, hidden_size=32,
+        num_hidden_layers=2, num_attention_heads=2, intermediate_size=128,
+        num_labels=10, hidden_dropout_prob=0.0, attention_probs_dropout_prob=0.0,
+    )
+    torch.manual_seed(0)
+    hf_model = ViTForImageClassification(hf_cfg).eval()
+    sd = {k: v for k, v in hf_model.state_dict().items()}
+
+    cfg = VitConfig(
+        task_type="cls", input_kind="image", image_size=32, patch_size=8,
+        num_channels=3, hidden_size=32, num_hidden_layers=2,
+        num_attention_heads=2, intermediate_size=128, num_labels=10,
+        pos_encoding_type="learned", hidden_dropout=0.0, attention_dropout=0.0,
+    )
+    model = SpecViT(cfg=cfg)
+    x_np = np.random.default_rng(0).standard_normal((2, 32, 32, 3)).astype(np.float32)
+    template = model.init(jax.random.PRNGKey(0), jnp.asarray(x_np))["params"]
+    params = from_torch_state_dict(sd, template, cfg)
+
+    ours = np.asarray(model.apply({"params": params}, jnp.asarray(x_np),
+                                  deterministic=True))
+    with torch.no_grad():
+        theirs = hf_model(
+            torch.from_numpy(x_np.transpose(0, 3, 1, 2))
+        ).logits.numpy()
+    np.testing.assert_allclose(ours, theirs, atol=2e-5)

@@ -4,6 +4,11 @@ North-star requirement: checkpoints interchangeable at the state-dict level
 with the reference's ``MyViT`` (`/root/reference/src/models/specvit.py`),
 which is an HF ``ViTModel`` with ``SpectraEmbeddings`` and Linear heads.
 
+Because the naming mirrors HF's ``ViTForImageClassification`` (``vit.`` +
+``classifier``), full pretrained HF image-ViT state dicts (e.g.
+vit-base-patch16-224 .pt exports) load directly into the image family —
+verified numerically end-to-end in ``tests/test_torch_bridge.py``.
+
 Name mapping (torch key <- flax path):
 
 * ``vit.embeddings.cls_token``                      <- ``embeddings/cls_token``
