@@ -85,12 +85,14 @@ def build(precision: str, n_epochs: int = 1):
     }
     data_dev = jax.device_put(data, repl)
     batch = jax.device_put({k: v[:BATCH] for k, v in data.items()}, bshard)
+    from vit_tpu.data.pipeline import epoch_permutation
+
     total = steps_per_epoch * BATCH
     if n_epochs > 1:
         perm = jax.device_put(
             np.stack([
-                np.random.default_rng(s).permutation(N_TRAIN)[:total].astype(np.int32)
-                for s in range(n_epochs)
+                epoch_permutation(N_TRAIN, BATCH, steps_per_epoch, 0, e)
+                for e in range(n_epochs)
             ]),
             repl,
         )

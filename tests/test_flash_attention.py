@@ -57,13 +57,12 @@ def test_select_attn_impl_policy():
     assert select_attn_impl("auto", 4096, 64) == "flash"
 
 
-def test_select_attn_impl_dropout_keeps_flash():
-    """Probs dropout is applied in-kernel now — it must not change the
-    kernel choice (round-1 behavior forced xla, reintroducing the O(T^2)
-    memory wall for long-sequence dropout training)."""
-    assert select_attn_impl("flash", 4096, 64, dropout_active=True) == "flash"
-    assert select_attn_impl("auto", 4096, 64, dropout_active=True) == "flash"
-    assert select_attn_impl("flash", 4096, 64, dropout_active=False) == "flash"
+def test_select_attn_impl_ignores_dropout():
+    """Probs dropout is applied in-kernel — the kernel choice is purely
+    shape-driven (round-1 behavior forced xla under dropout, reintroducing
+    the O(T^2) memory wall for long-sequence dropout training)."""
+    assert select_attn_impl("flash", 4096, 64) == "flash"
+    assert select_attn_impl("auto", 4096, 64) == "flash"
 
 
 def test_hash_dropout_mask_statistics():

@@ -20,7 +20,27 @@ from typing import Dict, Iterator
 
 import numpy as np
 
-__all__ = ["Batcher", "prefetch_to_device"]
+__all__ = ["Batcher", "epoch_permutation", "prefetch_to_device"]
+
+
+def epoch_permutation(
+    n: int, batch_size: int, steps_per_epoch: int, seed: int, epoch: int
+):
+    """The Batcher's shuffle contract as a flat index vector.
+
+    Permutation seeded by ``seed + epoch``; the final partial batch is
+    cycled from the epoch's start; length ``steps_per_epoch * batch_size``
+    (int32). The fused-epoch, multi-epoch-block, vmapped-sweep, and bench
+    paths all gather with this — one implementation keeps them bit-equal
+    to the per-step Batcher.
+    """
+    import numpy as _np
+
+    order = _np.random.default_rng(seed + epoch).permutation(n)
+    total = steps_per_epoch * batch_size
+    if total > len(order):
+        order = _np.concatenate([order, order[: total - len(order)]])
+    return _np.asarray(order[:total], _np.int32)
 
 
 class Batcher:

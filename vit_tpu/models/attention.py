@@ -38,19 +38,16 @@ from vit_tpu.models.tokenization import KERNEL_INIT
 __all__ = ["MultiHeadSelfAttention", "select_attn_impl"]
 
 
-def select_attn_impl(
-    impl: str, seq_len: int, head_dim: int, dropout_active: bool = False
-) -> str:
+def select_attn_impl(impl: str, seq_len: int, head_dim: int) -> str:
     """Resolve ``auto`` to a concrete kernel for this shape.
 
     The resolution is backend-independent so a config traces the same graph
     on the CPU test mesh and on TPU (``flash_attention`` itself falls back
-    to identical XLA math off-TPU). Attention-probability dropout is applied
-    IN-KERNEL on the flash path (counter-based mask, O(T) memory — reference
-    semantics `/root/reference/src/models/vit_with_rope.py:79-81`), so
-    ``dropout_active`` no longer changes the kernel choice.
+    to identical XLA math off-TPU). Attention-probability dropout never
+    changes the kernel choice: it is applied IN-KERNEL on the flash path
+    (counter-based mask, O(T) memory — reference semantics
+    `/root/reference/src/models/vit_with_rope.py:79-81`).
     """
-    del dropout_active  # flash applies probs dropout in-kernel
     if impl == "auto":
         # Measured crossover on v5e: XLA's fused attention wins below ~2k
         # tokens; the Pallas kernel wins at the stride-1 sweep scale (~4k) —
@@ -114,9 +111,7 @@ class MultiHeadSelfAttention(nn.Module):
             k = apply_rope(k, cos, sin)
 
         dropout_active = self.dropout_rate > 0 and not deterministic
-        impl = select_attn_impl(
-            self.impl, seq_len, head_dim, dropout_active=dropout_active
-        )
+        impl = select_attn_impl(self.impl, seq_len, head_dim)
         if impl == "flash" and not capture_probs:
             from vit_tpu.ops.flash_attention import flash_attention
 

@@ -58,6 +58,8 @@ def hash_dropout(x: jnp.ndarray, rate: float, seed) -> jnp.ndarray:
     """Inverted dropout with a counter-based mask; ``seed``: int32 scalar."""
     if rate <= 0.0:
         return x
+    if rate >= 1.0:  # nn.Dropout parity: rate 1 drops everything
+        return jnp.zeros_like(x)
     bits = _coord_hash(x.shape, seed)
     keep = 1.0 - float(rate)
     mask = jnp.where(bits < _keep_threshold(rate), 1.0 / keep, 0.0)

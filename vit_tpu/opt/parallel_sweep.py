@@ -312,6 +312,8 @@ class _VmapSweepEngine:
         messages: List[Optional[str]] = [None] * R
         durations = np.zeros(R, np.float64)
 
+        dispatch_failed = False
+
         def _deactivate(i: int, status: str, message: Optional[str]) -> None:
             active[i] = 0.0
             statuses[i] = status
@@ -320,14 +322,13 @@ class _VmapSweepEngine:
 
         try:
             for epoch in range(max_epochs):
-                # Batcher-equivalent shuffle: permutation seeded by
-                # (seed+epoch), partial final batch cycled from epoch start.
-                rng_np = np.random.default_rng(self.seed + epoch)
-                order = rng_np.permutation(n_train)
-                total = steps_per_epoch * batch_size
-                if total > len(order):
-                    order = np.concatenate([order, order[: total - len(order)]])
-                perm = jax.device_put(np.asarray(order[:total], np.int32), repl)
+                from vit_tpu.data.pipeline import epoch_permutation
+
+                perm = jax.device_put(
+                    epoch_permutation(n_train, batch_size, steps_per_epoch,
+                                      self.seed, epoch),
+                    repl,
+                )
                 lrs = jax.device_put(jnp.asarray(epoch_lrs(epoch)), rep_shard)
                 active_dev = jax.device_put(jnp.asarray(active), rep_shard)
                 state, _losses = vepoch(state, train_data_dev, perm, lrs, active_dev)
@@ -374,7 +375,10 @@ class _VmapSweepEngine:
         except Exception as e:  # noqa: BLE001 — per-trial isolation
             # Completed/stopped replicas keep their results; only the
             # still-active ones become errors (reference isolates any
-            # per-trial exception without killing the pool).
+            # per-trial exception without killing the pool). The state may
+            # have been donated/poisoned by the failed dispatch, so the
+            # optional test eval below must be skipped too.
+            dispatch_failed = True
             print(f"[sweep] epoch dispatch failed: {e}")
             for i in range(R):
                 if active[i] > 0:
@@ -384,7 +388,7 @@ class _VmapSweepEngine:
         # metrics are reported, never used for selection). Diverged replicas
         # are skipped — their params are NaN.
         test_msgs: List[Optional[str]] = [None] * R
-        if not self.skip_test and any(s == "ok" for s in statuses):
+        if not self.skip_test and not dispatch_failed and any(s == "ok" for s in statuses):
             dm.setup("test")
             if dm.test is not None and len(dm.test) > 0:
                 tb = Batcher(dm.test.arrays(), min(batch_size, len(dm.test)), eval_mode=True)

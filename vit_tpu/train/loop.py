@@ -832,27 +832,28 @@ class Experiment:
         num_viz_samples = int((self.config.get("viz", {}) or {}).get("num_viz_samples", 256))
 
         def _epoch_perm(epoch: int) -> np.ndarray:
-            # Same shuffle semantics as the Batcher: permutation seeded
-            # by (seed + epoch), final partial batch cycled from start.
-            rng_np = np.random.default_rng(self.seed + epoch)
-            order = rng_np.permutation(len(train_ds))
-            total = steps_per_epoch * self.batch_size
-            if total > len(order):
-                order = np.concatenate([order, order[: total - len(order)]])
-            return np.asarray(order[:total], np.int32)
+            from vit_tpu.data.pipeline import epoch_permutation
+
+            return epoch_permutation(
+                len(train_ds), self.batch_size, steps_per_epoch, self.seed, epoch
+            )
 
         block_results: Dict[int, tuple] = {}
         for epoch in range(start_epoch, max_epochs):
             self.state = self.state.replace(frozen=self._scalar(self._frozen_flag(epoch)))
             batcher.set_epoch(epoch)
-            # Profile epoch 1 (post-compile steady state) when requested.
-            profiling = self.profile_dir is not None and epoch == start_epoch + 1
+            # Profile the second DISPATCH (post-compile steady state): in
+            # block mode the first dispatch at start_epoch covers epd epochs,
+            # so the next device work happens at start_epoch + epd.
+            profile_epoch = start_epoch + (epd if use_blocks else 1)
+            profiling = self.profile_dir is not None and epoch == profile_epoch
             if profiling:
                 os.makedirs(self.profile_dir, exist_ok=True)
                 jax.profiler.start_trace(self.profile_dir)
             t0 = time.perf_counter()
             fused_val_logits = None
             block_final = True  # per-epoch checkpoint granularity by default
+            block_dt = None
             if use_blocks and epoch not in block_results:
                 block = list(range(epoch, min(epoch + epd, max_epochs)))
                 if len(block) == epd:  # tail shorter than epd -> per-epoch path
@@ -874,15 +875,19 @@ class Experiment:
                         vlog_b = None
                     losses_b = np.asarray(jax.device_get(losses_b))
                     lrs_b = np.asarray(jax.device_get(lrs_b))
+                    # attribute the block dispatch time evenly to its epochs
+                    dt_share = (time.perf_counter() - t0) / len(block)
                     for j, e in enumerate(block):
                         block_results[e] = (
                             losses_b[j],
                             float(lrs_b[j]),
                             vlog_b[j] if vlog_b is not None else None,
                             e == block[-1],
+                            dt_share,
                         )
             if use_fused and epoch in block_results:
-                losses, last_lr, fused_val_logits, block_final = block_results.pop(epoch)
+                (losses, last_lr, fused_val_logits, block_final,
+                 block_dt) = block_results.pop(epoch)
                 n_steps = steps_per_epoch
             elif use_fused:
                 perm_dev = jax.device_put(_epoch_perm(epoch), self.repl_shard)
@@ -932,7 +937,9 @@ class Experiment:
                 jax.profiler.stop_trace()
                 print(f"[experiment] profiler trace written to {self.profile_dir}")
             train_loss = float(np.mean(jax.device_get(losses)))
-            dt = time.perf_counter() - t0
+            # block-mode epochs report their share of the block dispatch
+            # (the loop timer only sees a dict pop for cached epochs)
+            dt = block_dt if block_dt is not None else time.perf_counter() - t0
             epoch_metrics = {
                 "train_loss": train_loss,
                 "lr": float(jax.device_get(last_lr)),

@@ -81,18 +81,20 @@ def reduce_intermediates(intermediates: dict, num_layers: int, sample_rate: floa
             flat = a.reshape(-1)
             n = flat.shape[0]
             k = max(1, min(int(n * sample_rate), MAX_ACT_SAMPLE))
-            stride = max(1, n // k)
-            sample = flat[:: stride][:k]
+            # Coprime-step gather: a plain stride aliases with the (last)
+            # neuron axis for power-of-two widths — flat[::stride] would
+            # sample only a couple of neuron columns. The index set is a
+            # static constant (shapes are static under jit), computed exactly
+            # in numpy with a step coprime to n.
+            step = 7_368_787  # prime
+            while np.gcd(step, n) != 1:
+                step += 1
+            idx = (np.arange(k, dtype=np.int64) * step % n).astype(np.int32)
+            sample = flat[jnp.asarray(idx)]
             per_neuron = a.reshape(-1, a.shape[-1])
-            std = flat.std()
-            out["mlp"][f"layer_{i}"] = {
-                "mean": flat.mean(),
-                "std": std,
-                "sparsity": (jnp.abs(flat) < 1e-6).mean(),
-                "dead_frac": (per_neuron.std(axis=0) < 1e-6).mean(),
-                "sat_frac": (jnp.abs(flat) > 3 * (std + 1e-9)).mean(),
-                "sample": sample,
-            }
+            stats = gif_maker.activation_stats(flat, per_neuron)
+            stats["sample"] = sample
+            out["mlp"][f"layer_{i}"] = stats
         cls_h = enc.get(f"cls_hidden_{i}")
         if cls_h:
             out["cls_hidden"][f"layer_{i}"] = cls_h[0]

@@ -81,6 +81,22 @@ def distribution_frame(preds, labels, names, epoch: int, model_name: str = ""):
     return fig_to_frame(fig)
 
 
+def activation_stats(flat, per_neuron) -> Dict[str, object]:
+    """Activation health stats shared by the on-device reduction
+    (``viz.diagnostics.reduce_intermediates``, traced jnp arrays) and the
+    host-side fallback below — ONE set of thresholds for both. Written with
+    operators/ufuncs that dispatch on numpy AND jax arrays.
+    """
+    std = flat.std()
+    return {
+        "mean": flat.mean(),
+        "std": std,
+        "sparsity": (abs(flat) < 1e-6).mean(),
+        "dead_frac": (per_neuron.std(axis=0) < 1e-6).mean(),
+        "sat_frac": (abs(flat) > 3 * (std + 1e-9)).mean(),
+    }
+
+
 def activation_frame(
     activations: Dict[str, dict], epoch: int, model_name: str = ""
 ):
@@ -96,18 +112,12 @@ def activation_frame(
     def stats_of(v):
         if isinstance(v, dict):
             return {k: (np.asarray(x) if k == "sample" else float(x)) for k, x in v.items()}
-        flat = np.asarray(v).reshape(-1)
-        std = float(flat.std())
-        return {
-            "mean": float(flat.mean()),
-            "std": std,
-            "sparsity": float((np.abs(flat) < 1e-6).mean()),
-            "dead_frac": float(
-                (np.asarray(v).reshape(-1, np.asarray(v).shape[-1]).std(0) < 1e-6).mean()
-            ),
-            "sat_frac": float((np.abs(flat) > 3 * (std + 1e-9)).mean()),
-            "sample": flat,
-        }
+        arr = np.asarray(v)
+        flat = arr.reshape(-1)
+        out = {k: float(x) for k, x in
+               activation_stats(flat, arr.reshape(-1, arr.shape[-1])).items()}
+        out["sample"] = flat
+        return out
 
     stats = {k: stats_of(v) for k, v in activations.items()}
     layers = list(stats.keys())
