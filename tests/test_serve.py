@@ -118,3 +118,35 @@ def test_predict_cli(trained, tmp_path, monkeypatch):
     with np.load(out_path) as z:
         preds = z["predictions"]
     assert preds.shape == (16, 1) and np.isfinite(preds).all()
+
+
+def test_predict_image_model(tmp_path, monkeypatch):
+    """Predictor serves image-family checkpoints (NHWC input, cls output)."""
+    from vit_tpu.data.images import make_dummy_images
+    from vit_tpu.train.loop import Experiment
+
+    monkeypatch.setenv("CKPT_DIR", str(tmp_path / "ckpt"))
+    cfg = {
+        "project": "img-serve",
+        "model": {
+            "name": "vit", "task_type": "cls", "input_kind": "image",
+            "image_size": 32, "patch_size": 8, "hidden_size": 32,
+            "num_hidden_layers": 2, "num_attention_heads": 2,
+            "num_labels": 10, "num_channels": 3, "pos_encoding_type": "learned",
+        },
+        "train": {"batch_size": 32, "ep": 2, "save": True},
+        "loss": {"name": "ce"},
+        "opt": {"type": "AdamW", "lr": 3e-3, "lr_sch": "none"},
+        "data": {"num_samples": 256, "num_test_samples": 64},
+        "noise": {"noise_level": 0},
+        "viz": {"enable": False},
+    }
+    exp = Experiment(cfg, seed=0)
+    exp.fit()
+    pred = Predictor.from_checkpoint(dict(cfg), ckpt="best", batch_size=16)
+    x = make_dummy_images(n=20, image_size=32, seed=3)["images"].astype(np.float32) / 255.0
+    classes = pred.predict(x)
+    assert classes.shape == (20,) and set(np.unique(classes)) <= set(range(10))
+    proba = pred.predict_proba(x)
+    assert proba.shape == (20, 10)
+    np.testing.assert_allclose(proba.sum(axis=1), 1.0, rtol=1e-5)
