@@ -127,3 +127,34 @@ def test_gradient_accumulation_divisibility_checked(tiny_config):
     cfg["train"] = dict(tiny_config["train"], batch_size=16, accumulate_steps=3)
     with pytest.raises(ValueError, match="accumulate_steps"):
         Experiment(cfg, seed=0)
+
+
+def test_gradient_accumulation_data_parallel(tiny_config, tmp_path, monkeypatch):
+    """Accumulation under a multi-shard DP mesh: micro-batches stay sharded
+    (mb divisible by shards -> the with_sharding_constraint path) and the
+    result matches the unaccumulated DP run."""
+    import jax
+    import numpy as np
+
+    from vit_tpu.train.loop import Experiment
+
+    monkeypatch.setenv("CKPT_DIR", str(tmp_path / "ckpt"))
+
+    def run(accum):
+        cfg = dict(tiny_config)
+        cfg["model"] = dict(tiny_config["model"], hidden_dropout_prob=0.0,
+                            attention_probs_dropout_prob=0.0)
+        # batch 32 over 8 shards, accum 2 -> mb 16 divisible by 8
+        cfg["train"] = dict(tiny_config["train"], ep=2, batch_size=32,
+                            accumulate_steps=accum)
+        cfg["opt"] = {"type": "AdamW", "lr": 1e-3, "lr_sch": "none"}
+        exp = Experiment(cfg, seed=0, num_devices=8)
+        metrics = exp.fit()
+        assert exp.mesh.shape["data"] == 8
+        return metrics, jax.device_get(exp.state.params)
+
+    m1, p1 = run(1)
+    m2, p2 = run(2)
+    assert m1["val_mae"] == pytest.approx(m2["val_mae"], abs=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(p1), jax.tree_util.tree_leaves(p2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)

@@ -34,13 +34,11 @@ def epoch_permutation(
     paths all gather with this — one implementation keeps them bit-equal
     to the per-step Batcher.
     """
-    import numpy as _np
-
-    order = _np.random.default_rng(seed + epoch).permutation(n)
+    order = np.random.default_rng(seed + epoch).permutation(n)
     total = steps_per_epoch * batch_size
     if total > len(order):
-        order = _np.concatenate([order, order[: total - len(order)]])
-    return _np.asarray(order[:total], _np.int32)
+        order = np.concatenate([order, order[: total - len(order)]])
+    return np.asarray(order[:total], np.int32)
 
 
 class Batcher:

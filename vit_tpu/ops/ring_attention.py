@@ -54,8 +54,7 @@ def _ring_body(q, k, v, axis: str, scale: float):
     m0 = jnp.full_like(qs[..., :1], -jnp.inf)
     l0 = jnp.zeros_like(qs[..., :1])
 
-    def step(carry, _):
-        acc, m, l, k_cur, v_cur = carry
+    def attend(acc, m, l, k_cur, v_cur):
         s = jnp.einsum(
             "bhqd,bhkd->bhqk", qs, k_cur.astype(jnp.float32),
             preferred_element_type=jnp.float32,
@@ -68,13 +67,21 @@ def _ring_body(q, k, v, axis: str, scale: float):
             preferred_element_type=jnp.float32,
         )
         l = l * alpha + p.sum(axis=-1, keepdims=True)
+        return acc, m_new, l
+
+    def step(carry, _):
+        acc, m, l, k_cur, v_cur = carry
+        acc, m, l = attend(acc, m, l, k_cur, v_cur)
         k_nxt = jax.lax.ppermute(k_cur, axis, perm)
         v_nxt = jax.lax.ppermute(v_cur, axis, perm)
-        return (acc, m_new, l, k_nxt, v_nxt), None
+        return (acc, m, l, k_nxt, v_nxt), None
 
-    (acc, _, l, _, _), _ = jax.lax.scan(
-        step, (acc0, m0, l0, k, v), None, length=n
+    # n-1 rotate-and-attend steps, then the last shard without the final
+    # rotation (which would only be discarded — 2 wasted ICI collectives).
+    (acc, m, l, k_last, v_last), _ = jax.lax.scan(
+        step, (acc0, m0, l0, k, v), None, length=n - 1
     )
+    acc, _, l = attend(acc, m, l, k_last, v_last)
     return (acc / jnp.maximum(l, 1e-30)).astype(q.dtype)
 
 

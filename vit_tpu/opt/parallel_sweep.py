@@ -127,7 +127,7 @@ class _VmapSweepEngine:
         from jax.sharding import NamedSharding, PartitionSpec as P
 
         from vit_tpu.data.datasets import SpecDataModule
-        from vit_tpu.data.pipeline import Batcher, prefetch_to_device
+        from vit_tpu.data.pipeline import Batcher, epoch_permutation, prefetch_to_device
         from vit_tpu.models.builder import get_model
         from vit_tpu.models.vit import compute_loss
         from vit_tpu.parallel.mesh import make_mesh
@@ -322,8 +322,6 @@ class _VmapSweepEngine:
 
         try:
             for epoch in range(max_epochs):
-                from vit_tpu.data.pipeline import epoch_permutation
-
                 perm = jax.device_put(
                     epoch_permutation(n_train, batch_size, steps_per_epoch,
                                       self.seed, epoch),

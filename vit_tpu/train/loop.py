@@ -38,7 +38,7 @@ import numpy as np
 from flax import struct
 
 from vit_tpu.data.datasets import RegSpecDataset, SpecDataModule, parse_param_list
-from vit_tpu.data.pipeline import Batcher, prefetch_to_device
+from vit_tpu.data.pipeline import Batcher, epoch_permutation, prefetch_to_device
 from vit_tpu.models.builder import ModelBundle, get_model
 from vit_tpu.models.vit import compute_loss
 from vit_tpu.parallel.mesh import (
@@ -89,7 +89,30 @@ def _mask_preprocessor(tree: Any, keep: jnp.ndarray) -> Any:
     return jax.tree_util.tree_map_with_path(mask, tree)
 
 
-def _make_grads_fn(bundle: ModelBundle, noise_level: float, accum_steps: int = 1):
+def _micro_constraint(batch_sharding_):
+    """(sharding, dp_shards) for the (accum, micro_batch, ...) chunk stack:
+    keep each micro-batch spread over the DP axis. Without this, contiguous
+    chunks map to row ranges living on a subset of shards and GSPMD reshards
+    on every micro-step. Applied only when the micro-batch divides the shard
+    count (checked at trace time in the grads fn)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    if not isinstance(batch_sharding_, NamedSharding):
+        return None
+    axes = [a for a in batch_sharding_.spec if a is not None]
+    if not axes:
+        return None
+    mesh = batch_sharding_.mesh
+    dp = 1
+    for a in axes:
+        names = a if isinstance(a, tuple) else (a,)
+        for name in names:
+            dp *= mesh.shape[name]
+    return NamedSharding(mesh, P(None, *axes)), dp
+
+
+def _make_grads_fn(bundle: ModelBundle, noise_level: float, accum_steps: int = 1,
+                   micro_constraint=None):
     """(params, batch, noise_rng, dropout_rng) -> (loss, grads), shared by the
     per-step and fused-epoch paths.
 
@@ -129,6 +152,10 @@ def _make_grads_fn(bundle: ModelBundle, noise_level: float, accum_steps: int = 1
         chunks = {
             k: v.reshape((accum_steps, mb) + v.shape[1:]) for k, v in batch.items()
         }
+        if micro_constraint is not None and mb % micro_constraint[1] == 0:
+            # one up-front reshard; every scanned micro-batch then stays
+            # DP-sharded with no per-micro-step collectives
+            chunks = jax.lax.with_sharding_constraint(chunks, micro_constraint[0])
         nkeys = jax.random.split(noise_rng, accum_steps)
         dkeys = jax.random.split(dropout_rng, accum_steps)
 
@@ -167,7 +194,10 @@ def make_train_step(
     """
     schedule = schedule_scale(spec)
     has_preproc = bundle.has_preprocessor
-    grads_fn = _make_grads_fn(bundle, noise_level, accum_steps)
+    grads_fn = _make_grads_fn(
+        bundle, noise_level, accum_steps,
+        micro_constraint=_micro_constraint(batch_sharding_) if accum_steps > 1 else None,
+    )
 
     def train_step(state: TrainState, batch: Dict[str, jnp.ndarray]):
         rng, noise_rng, dropout_rng = jax.random.split(state.rng, 3)
@@ -240,7 +270,12 @@ def make_train_epoch(
     module = bundle.module
     schedule = schedule_scale(spec)
     has_preproc = bundle.has_preprocessor
-    grads_fn = _make_grads_fn(bundle, noise_level, accum_steps)
+    # batch_constraint is (None, 'data')-shaped for the stacked epoch; the
+    # per-step micro constraint drops its leading step axis.
+    grads_fn = _make_grads_fn(
+        bundle, noise_level, accum_steps,
+        micro_constraint=_micro_constraint(batch_constraint) if accum_steps > 1 else None,
+    )
 
     def one_step(state, batch):
         rng, noise_rng, dropout_rng = jax.random.split(state.rng, 3)
@@ -832,21 +867,27 @@ class Experiment:
         num_viz_samples = int((self.config.get("viz", {}) or {}).get("num_viz_samples", 256))
 
         def _epoch_perm(epoch: int) -> np.ndarray:
-            from vit_tpu.data.pipeline import epoch_permutation
-
             return epoch_permutation(
                 len(train_ds), self.batch_size, steps_per_epoch, self.seed, epoch
             )
 
         block_results: Dict[int, tuple] = {}
+        profiled = False
         for epoch in range(start_epoch, max_epochs):
             self.state = self.state.replace(frozen=self._scalar(self._frozen_flag(epoch)))
             batcher.set_epoch(epoch)
-            # Profile the second DISPATCH (post-compile steady state): in
-            # block mode the first dispatch at start_epoch covers epd epochs,
-            # so the next device work happens at start_epoch + epd.
-            profile_epoch = start_epoch + (epd if use_blocks else 1)
-            profiling = self.profile_dir is not None and epoch == profile_epoch
+            # Profile the first DISPATCH after start_epoch (post-compile
+            # steady state). Cached block epochs perform no device work, so
+            # the trigger is "this epoch actually dispatches" rather than a
+            # fixed epoch index (which missed the tail/short-run cases in
+            # block mode).
+            will_dispatch = epoch not in block_results
+            profiling = (
+                self.profile_dir is not None
+                and not profiled
+                and epoch > start_epoch
+                and will_dispatch
+            )
             if profiling:
                 os.makedirs(self.profile_dir, exist_ok=True)
                 jax.profiler.start_trace(self.profile_dir)
@@ -935,6 +976,7 @@ class Experiment:
             if profiling:
                 jax.block_until_ready(self.state.step)
                 jax.profiler.stop_trace()
+                profiled = True
                 print(f"[experiment] profiler trace written to {self.profile_dir}")
             train_loss = float(np.mean(jax.device_get(losses)))
             # block-mode epochs report their share of the block dispatch
