@@ -94,6 +94,11 @@ class VitConfig:
     # on the dispatch-bound baseline; different RNG stream than nn.Dropout
     # (semantic parity). Set model.fast_dropout: false for threefry/rbg.
     fast_dropout: bool = True
+    # Fused Pallas MLP kernel (vit_tpu.ops.fused_mlp): dense->GELU->dense in
+    # one HBM round trip. Measured SLOWER on the baseline (105.7 vs 97.5
+    # ms/epoch: per-call overhead matches the ops it replaces at this tiny
+    # scale) — off by default, available for experimentation.
+    fused_mlp: bool = False
 
     @property
     def dtype(self):
@@ -219,6 +224,7 @@ def get_vit_config(config: dict) -> VitConfig:
         precision=str(t.get("precision", "float32")),
         remat=bool(m.get("remat", False)),
         fast_dropout=bool(m.get("fast_dropout", True)),
+        fused_mlp=bool(m.get("fused_mlp", False)),
     )
 
 

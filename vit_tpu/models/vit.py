@@ -56,6 +56,24 @@ __all__ = [
 LN_EPS = 1e-12  # HF ViTConfig layer_norm_eps
 
 
+class _DenseParams(nn.Module):
+    """Declares a Dense layer's params (same names/shapes/init as
+    ``nn.Dense``) without running the matmul — the fused-MLP path consumes
+    them directly, keeping the checkpoint layout identical to the unfused
+    path (and to the torch bridge's expectations)."""
+
+    features_in: int
+    features_out: int
+
+    @nn.compact
+    def __call__(self):
+        kernel = self.param(
+            "kernel", KERNEL_INIT, (self.features_in, self.features_out)
+        )
+        bias = self.param("bias", nn.initializers.zeros, (self.features_out,))
+        return kernel, bias
+
+
 def make_dropout(cfg: Any, rate: float, name: str) -> nn.Module:
     """Dropout module per the config: counter-based hash masks (fast, the
     default) or ``nn.Dropout`` (``model.fast_dropout: false``). Both are
@@ -193,15 +211,34 @@ class ViTLayer(nn.Module):
         x = x + attn(h, deterministic=deterministic, capture_probs=capture)
 
         h = nn.LayerNorm(epsilon=LN_EPS, dtype=cfg.dtype, name="layernorm_after")(x)
-        h = nn.Dense(
-            cfg.intermediate_size, dtype=cfg.dtype, kernel_init=KERNEL_INIT, name="intermediate"
-        )(h)
-        h = nn.gelu(h, approximate=False)
-        if capture:
-            self.sow("intermediates", "mlp_activation", h)
-        h = nn.Dense(
-            cfg.hidden_size, dtype=cfg.dtype, kernel_init=KERNEL_INIT, name="output"
-        )(h)
+        if getattr(cfg, "fused_mlp", False) and not capture:
+            # Fused dense->GELU->dense Pallas kernel: one HBM round trip
+            # (BASELINE.md probe 7 — the unfused MLP is HBM-round-trip
+            # bound). Params declared with nn.Dense-identical layout; the
+            # capture path below reads the same params through nn.Dense.
+            from vit_tpu.ops.fused_mlp import fused_mlp
+
+            w1, b1 = _DenseParams(
+                cfg.hidden_size, cfg.intermediate_size, name="intermediate"
+            )()
+            w2, b2 = _DenseParams(
+                cfg.intermediate_size, cfg.hidden_size, name="output"
+            )()
+            dt = cfg.dtype
+            h = fused_mlp(
+                h.astype(dt), w1.astype(dt), b1.astype(dt),
+                w2.astype(dt), b2.astype(dt),
+            )
+        else:
+            h = nn.Dense(
+                cfg.intermediate_size, dtype=cfg.dtype, kernel_init=KERNEL_INIT, name="intermediate"
+            )(h)
+            h = nn.gelu(h, approximate=False)
+            if capture:
+                self.sow("intermediates", "mlp_activation", h)
+            h = nn.Dense(
+                cfg.hidden_size, dtype=cfg.dtype, kernel_init=KERNEL_INIT, name="output"
+            )(h)
         h = make_dropout(cfg, cfg.hidden_dropout, "dropout")(
             h, deterministic=deterministic
         )
