@@ -17,11 +17,15 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def parse_args() -> argparse.Namespace:
     p = argparse.ArgumentParser(description="ViT training runner (TPU)")
-    p.add_argument("-f", "--file", type=str, required=True, help="YAML config path")
+    # "--config"/"--gpu" are the reference's long names (`run.py:16-19`);
+    # kept as aliases so reference command lines work verbatim.
+    p.add_argument("-f", "--file", "--config", dest="file", type=str,
+                   required=True, help="YAML config path")
     p.add_argument("-w", "--wandb", type=int, default=0, help="1 = log to W&B")
     p.add_argument("--save", action="store_true", help="save checkpoints")
     p.add_argument("--ckpt", type=str, default=None, help="resume checkpoint (best|last|path)")
-    p.add_argument("-g", "--gpus", type=int, default=None, help="device count (mesh size)")
+    p.add_argument("-g", "--gpus", "--gpu", dest="gpus", type=int, default=None,
+                   help="device count (mesh size)")
     p.add_argument("-d", "--debug", type=int, nargs="?", const=1, default=0,
                    help="fast dev run (1 batch)")
     p.add_argument("--seed", type=int, default=42)

@@ -33,10 +33,13 @@ def train_fn() -> None:
     from vit_tpu.utils import seed_everything
 
     run = wandb.init()
-    base_path = wandb.config.get("vit_config") or os.environ.get("VIT_CONFIG")
-    if not base_path:
-        raise ValueError("sweep config must provide 'vit_config' (base YAML path)")
-    config = load_config(base_path)
+    # Resolution order matches the reference (`sweep.py:17-26`):
+    # wandb.config > $VIT_CONFIG > the reference's default path.
+    base_path = (
+        wandb.config.get("vit_config")
+        or os.environ.get("VIT_CONFIG", "configs/vit.yaml")
+    )
+    config = load_config(os.path.expandvars(base_path))
 
     # Dotted-key deep overrides (reference `scripts/sweep.py:29-50`).
     for key, value in dict(wandb.config).items():
@@ -59,7 +62,13 @@ def main() -> None:
     p.add_argument("--count", type=int, default=None, help="max trials for this agent")
     p.add_argument("-e", "--entity", type=str, default=os.environ.get("WANDB_ENTITY"))
     p.add_argument("-p", "--project", type=str, default=os.environ.get("WANDB_PROJECT"))
-    args = p.parse_args()
+    p.add_argument("--vit_config", type=str, default=None,
+                   help="base YAML for trials (reference `sweep.py:103`)")
+    args, _unknown = p.parse_known_args()  # sweep params arrive via wandb.config
+    if args.vit_config:
+        # train_fn resolves wandb.config > $VIT_CONFIG; surface the CLI value
+        # through the env so agent-spawned trials see it too.
+        os.environ["VIT_CONFIG"] = args.vit_config
 
     try:
         import wandb

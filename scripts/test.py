@@ -17,10 +17,12 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def parse_args() -> argparse.Namespace:
     p = argparse.ArgumentParser(description="ViT evaluation runner (TPU)")
-    p.add_argument("-f", "--file", type=str, required=True, help="YAML config path")
+    # "--config"/"--gpu" aliases: the reference's long names (`test.py:17-19`).
+    p.add_argument("-f", "--file", "--config", dest="file", type=str,
+                   required=True, help="YAML config path")
     p.add_argument("--ckpt", type=str, default="best", help="best | last | checkpoint path")
     p.add_argument("-w", "--wandb", type=int, default=0)
-    p.add_argument("-g", "--gpus", type=int, default=None)
+    p.add_argument("-g", "--gpus", "--gpu", dest="gpus", type=int, default=None)
     p.add_argument("-d", "--debug", type=int, nargs="?", const=1, default=0)
     p.add_argument("--seed", type=int, default=42)
     return p.parse_args()

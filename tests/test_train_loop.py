@@ -147,3 +147,20 @@ def test_resume_preserves_plateau_state(fast_config, monkeypatch, tmp_path):
     if scale_before < 1.0:
         # the key regression: pre-interruption reductions were not undone
         assert float(exp2.state.plateau_scale) < 1.0
+
+
+def test_plotting_quick_mode_respected(fast_config, monkeypatch, tmp_path):
+    """plotting.quick_mode (reference `vit.py:288`) must reach the test-time
+    RegressionPlotter: quick mode emits the core figures only."""
+    monkeypatch.setenv("CKPT_DIR", str(tmp_path / "ckpt"))
+    monkeypatch.setenv("PLOT_DIR", str(tmp_path / "plots"))
+    cfg = dict(fast_config)
+    cfg["train"] = dict(fast_config["train"], ep=1)
+    cfg["viz"] = {"enable": True, "compute_cka": False}
+    cfg["plotting"] = {"quick_mode": True}
+    exp = Experiment(cfg, seed=0)
+    exp.run()
+    out = tmp_path / "plots" / exp.bundle.model_name
+    made = {p.name for p in out.glob("*.png")}
+    assert "pred_vs_true.png" in made
+    assert "error_vs_true.png" not in made  # quick mode skips the extras

@@ -1086,10 +1086,13 @@ class Experiment:
         from vit_tpu.viz.plotter import RegressionPlotter
 
         logits, labels = self._run_eval(ds, self.batch_size)
+        # Reference reads plotting.quick_mode at report time (`vit.py:288`).
+        quick = bool((self.config.get("plotting", {}) or {}).get("quick_mode", False))
         plotter = RegressionPlotter(
             param_names=parse_param_list((self.config.get("data", {}) or {}).get("param")),
             denormalize=ds.denormalize,
             model_name=self.bundle.model_name,
+            quick_mode=quick,
         )
         plotter.generate_all_plots(logits, labels, logger=self.logger)
 
