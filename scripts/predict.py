@@ -26,7 +26,14 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def load_inputs(path: str, limit: int | None) -> np.ndarray:
     if path.endswith(".npz"):
         with np.load(path) as z:
-            key = "images" if "images" in z else list(z.keys())[0]
+            for key in ("images", "x", "flux"):
+                if key in z:
+                    break
+            else:
+                raise KeyError(
+                    f"{path} has no 'images'/'x'/'flux' array "
+                    f"(found: {sorted(z.keys())})"
+                )
             x = np.asarray(z[key])
             if x.dtype == np.uint8:
                 x = x.astype(np.float32) / 255.0

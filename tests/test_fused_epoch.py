@@ -73,6 +73,32 @@ def test_epochs_per_dispatch_bit_equivalent(tiny_config, tmp_path, monkeypatch):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_fused_val_and_blocks_active_under_dp(tiny_config, tmp_path, monkeypatch, capsys):
+    """Fused validation (and hence multi-epoch blocks) must work on a
+    multi-shard data-parallel mesh — the val chunks take the same
+    (None, 'data') sharding as the train batches. Historically blocks were
+    silently disabled when n_shards > 1, dropping the RPC amortization
+    exactly when scaling out."""
+    monkeypatch.setenv("CKPT_DIR", str(tmp_path / "ckpt"))
+    cfg = dict(tiny_config)
+    cfg["train"] = dict(tiny_config["train"], ep=4, batch_size=16,
+                        epochs_per_dispatch=4)
+    cfg["opt"] = {"type": "AdamW", "lr": 1e-3, "lr_sch": "none"}
+    exp = Experiment(cfg, seed=0, num_devices=8)
+    assert exp.mesh.shape["data"] == 8
+    metrics = exp.fit()
+    out = capsys.readouterr().out
+    assert "epochs_per_dispatch=4 ignored" not in out
+    assert int(exp.state.step) == 4 * 6
+    # fused-val metrics must match the per-device fused result
+    exp1 = Experiment(
+        dict(cfg, train=dict(cfg["train"], epochs_per_dispatch=1)),
+        seed=0, num_devices=1,
+    )
+    m1 = exp1.fit()
+    assert metrics["val_mae"] == pytest.approx(m1["val_mae"], rel=1e-5)
+
+
 def test_epochs_per_dispatch_tail_and_early_stop(tiny_config, tmp_path, monkeypatch):
     """ep not divisible by the block size: tail epochs run per-epoch; metrics
     exist for every epoch."""

@@ -149,6 +149,45 @@ def test_resume_preserves_plateau_state(fast_config, monkeypatch, tmp_path):
         assert float(exp2.state.plateau_scale) < 1.0
 
 
+def test_block_mode_early_stop_flushes_to_boundary(fast_config, monkeypatch, tmp_path, capsys):
+    """epochs_per_dispatch>1: an early stop at a non-block-final epoch must
+    flush the cached block epochs so the checkpoint and reported metrics
+    describe the state actually held (training runs through the block's
+    final epoch inside the single dispatch)."""
+    from vit_tpu.train.checkpoint import CheckpointManager
+
+    monkeypatch.setenv("CKPT_DIR", str(tmp_path / "ckpt"))
+    cfg = dict(fast_config)
+    cfg["train"] = dict(fast_config["train"], ep=4, save=True,
+                        epochs_per_dispatch=4, fused_epoch=True,
+                        divergence_threshold=1e-12)  # trips at epoch 0
+    # single-device mesh: blocks need the fused-val path (1 data shard)
+    exp = Experiment(cfg, seed=0, num_devices=1)
+    exp.fit()
+    out = capsys.readouterr().out
+    assert "flushing to the block boundary" in out
+    steps_per_epoch = -(-96 // 16)
+    # the whole 4-epoch block was trained in one dispatch...
+    assert int(exp.state.step) == 4 * steps_per_epoch
+    # ...and 'last' on disk matches that state, not an earlier epoch
+    restored = CheckpointManager.restore(exp.ckpt.resolve("last"), exp.state)
+    assert int(restored.step) == int(exp.state.step)
+
+
+def test_epochs_per_dispatch_ignored_is_announced(fast_config, monkeypatch, tmp_path, capsys):
+    """Silently dropping the user's amortization knob is a diagnosable event:
+    when blocks can't be used (here: viz needs per-epoch states) a log line
+    must say so."""
+    monkeypatch.setenv("CKPT_DIR", str(tmp_path / "ckpt"))
+    cfg = dict(fast_config)
+    cfg["train"] = dict(fast_config["train"], ep=1, epochs_per_dispatch=8)
+    cfg["viz"] = {"enable": True, "compute_cka": False, "num_viz_samples": 8}
+    exp = Experiment(cfg, seed=0)
+    exp.fit()
+    out = capsys.readouterr().out
+    assert "epochs_per_dispatch=8 ignored" in out
+
+
 def test_plotting_quick_mode_respected(fast_config, monkeypatch, tmp_path):
     """plotting.quick_mode (reference `vit.py:288`) must reach the test-time
     RegressionPlotter: quick mode emits the core figures only."""

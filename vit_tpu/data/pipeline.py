@@ -87,14 +87,25 @@ class Batcher:
 
     def _order(self) -> np.ndarray:
         if self.shuffle:
-            rng = np.random.default_rng(self.seed + self.epoch)
-            return rng.permutation(self.n)
+            # epoch_permutation with total == n is exactly the shuffled order;
+            # sharing it keeps per-step and fused paths bit-equal by
+            # construction (tests/test_fused_epoch.py).
+            return epoch_permutation(self.n, self.n, 1, self.seed, self.epoch)
         return np.arange(self.n)
 
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
-        order = self._order()
         bs = self.batch_size
         n_batches = len(self)
+        if self.shuffle and not self.eval_mode and not self.drop_last:
+            # Canonical shuffle+cycle contract, one implementation
+            # (epoch_permutation) for this and every fused path.
+            flat = epoch_permutation(self.n, bs, n_batches, self.seed, self.epoch)
+            for b in range(n_batches):
+                idx = flat[b * bs : (b + 1) * bs]
+                yield {k: v[idx] for k, v in self.arrays.items()}
+            self.epoch += 1
+            return
+        order = self._order()
         for b in range(n_batches):
             idx = order[b * bs : (b + 1) * bs]
             n_real = idx.shape[0]

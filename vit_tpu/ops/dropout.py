@@ -25,7 +25,7 @@ import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
-from vit_tpu.ops.flash_attention import _keep_threshold
+from vit_tpu.ops.flash_attention import _fmix32, _keep_threshold
 
 __all__ = ["hash_dropout", "HashDropout"]
 
@@ -33,11 +33,15 @@ __all__ = ["hash_dropout", "HashDropout"]
 _AXIS_MULTS = (0x9E3779B1, 0x85EBCA6B, 0xC2B2AE35, 0x27D4EB2F,
                0x165667B1, 0xD3A2646C)
 _M1 = 0x85EBCA6B
-_M2 = 0xC2B2AE35
 
 
 def _coord_hash(shape, seed):
-    """uint32 hash of each element's coordinates, mixed with ``seed``."""
+    """uint32 hash of each element's coordinates, mixed with ``seed``.
+
+    Per-axis mixing decorrelates (i, j) from (j, i); the final avalanche is
+    the murmur3 finalizer shared with the flash kernel's in-kernel dropout
+    (one implementation of the hash-quality-critical mix).
+    """
     u32 = lambda v: jax.lax.convert_element_type(v, jnp.uint32)  # noqa: E731
     if len(shape) > len(_AXIS_MULTS):
         raise ValueError(f"hash_dropout supports up to {len(_AXIS_MULTS)} dims")
@@ -48,10 +52,7 @@ def _coord_hash(shape, seed):
         # mix between axes so (i, j) and (j, i) decorrelate
         x = x ^ (x >> 15)
         x = x * np.uint32(_M1)
-    x = x ^ (x >> 13)
-    x = x * np.uint32(_M2)
-    x = x ^ (x >> 16)
-    return x
+    return _fmix32(x)
 
 
 def hash_dropout(x: jnp.ndarray, rate: float, seed) -> jnp.ndarray:

@@ -94,6 +94,18 @@ def _keep_threshold(rate: float) -> np.uint32:
     return np.uint32(min(0xFFFFFFFF, int(round(keep * 2.0**32))))
 
 
+def _fmix32(x):
+    """murmur3 32-bit finalizer — the single hash-quality-critical mix shared
+    by every counter-based dropout in the package (in-kernel flash dropout
+    here, :mod:`vit_tpu.ops.dropout` for the model-body masks)."""
+    x = x ^ (x >> 16)
+    x = x * np.uint32(_M1)
+    x = x ^ (x >> 13)
+    x = x * np.uint32(_M2)
+    x = x ^ (x >> 16)
+    return x
+
+
 def _hash_bits(rows, cols, bh, seed):
     """Counter-based uint32 hash of (seed, bh, row, col); murmur3 finalizer.
 
@@ -104,12 +116,7 @@ def _hash_bits(rows, cols, bh, seed):
     u = lambda v: jax.lax.convert_element_type(v, jnp.uint32)  # noqa: E731
     x = u(rows) * np.uint32(_H_ROW) ^ u(cols) * np.uint32(_H_COL)
     x = x + u(bh) * np.uint32(_H_BH) + u(seed) * np.uint32(_H_SEED)
-    x = x ^ (x >> 16)
-    x = x * np.uint32(_M1)
-    x = x ^ (x >> 13)
-    x = x * np.uint32(_M2)
-    x = x ^ (x >> 16)
-    return x
+    return _fmix32(x)
 
 
 def hash_dropout_mask(t_q: int, t_k: int, bh, seed, rate: float) -> jnp.ndarray:

@@ -246,6 +246,22 @@ def fused_mlp(
     if jax.default_backend() != "tpu" and not interpret:
         return _jnp_mlp(x2, w1, b1, w2, b2).reshape(orig_shape)
 
+    # VMEM envelope: the backward keeps dW1/dW2 fp32 accumulators plus both
+    # weight blocks resident regardless of block_r, so the dominant cost is
+    # ~(16 + 2*itemsize) * d * f bytes. Past Mosaic's ~16 MB scoped budget
+    # (ViT-B's 768x3072 needs ~19 MB for the accumulators alone) the kernel
+    # cannot compile — fall back to the identical-math jnp path, which XLA
+    # fuses well at such MXU-bound widths anyway.
+    resident = (16 + 2 * x.dtype.itemsize) * d * f
+    if resident > 12 * 1024**2 and not interpret:
+        if not getattr(fused_mlp, "_warned", False):
+            print(
+                f"[fused_mlp] d={d}, f={f} exceeds the kernel's VMEM envelope "
+                f"(~{resident / 1e6:.0f} MB resident); using the XLA path"
+            )
+            fused_mlp._warned = True
+        return _jnp_mlp(x2, w1, b1, w2, b2).reshape(orig_shape)
+
     block = max(128, min(block_r, _round_up(rows, 128)))
     r_pad = _round_up(rows, block)
     if r_pad != rows:

@@ -322,6 +322,11 @@ def make_train_epoch(
         pad = n_chunks * batch_size - n_val
         val_padded = jnp.pad(val_x, ((0, pad),) + ((0, 0),) * (val_x.ndim - 1))
         chunks = val_padded.reshape((n_chunks, batch_size) + val_x.shape[1:])
+        if batch_constraint is not None:
+            # DP: shard each val chunk over the data axis like the train
+            # batches (the padded chunks are exactly batch_size rows, so the
+            # same (None, 'data') layout applies).
+            chunks = jax.lax.with_sharding_constraint(chunks, batch_constraint)
 
         def val_step(_, chunk):
             logits = module.apply({"params": state.params}, chunk, deterministic=True)
@@ -706,8 +711,9 @@ class Experiment:
             self.state = self._init_state(tx)
 
         # Fused-epoch mode: one dispatch per epoch (lax.scan over steps) when
-        # the epoch fits in HBM and the mesh has a single data shard — the
-        # big throughput lever for small, dispatch-bound models.
+        # the epoch fits in HBM — the big throughput lever for small,
+        # dispatch-bound models. Under DP the batches (train and fused-val)
+        # are sharded over the data axis inside the dispatch.
         fused_cfg = (self.config.get("train", {}) or {}).get("fused_epoch", "auto")
         train_cols = {
             k: v for k, v in train_ds.arrays().items() if k in ("x", "error", "label")
@@ -731,10 +737,11 @@ class Experiment:
                 NamedSharding(self.mesh, P(None, "data")) if n_shards > 1 else None
             )
             # Fuse the validation forward into the same dispatch when the
-            # val set is small: ONE host round-trip per epoch, total.
+            # val set is small: ONE host round-trip per epoch, total. Works
+            # under DP too — the val chunks get the same (None, 'data')
+            # sharding as the train batches inside make_train_epoch.
             fused_val = (
                 has_val
-                and n_shards == 1
                 and self.datamodule.val.model_input.nbytes < 512 * 1024**2
             )
             train_epoch = make_train_epoch(
@@ -764,6 +771,16 @@ class Experiment:
                 if use_blocks
                 else None
             )
+            if epd > 1 and not use_blocks:
+                why = (
+                    "viz.enable requires per-epoch states"
+                    if viz_on
+                    else "fused validation unavailable (val split > 512 MB)"
+                )
+                print(
+                    f"[experiment] train.epochs_per_dispatch={epd} ignored: {why}; "
+                    "running one dispatch per epoch"
+                )
             train_data_dev = jax.device_put(train_cols, self.repl_shard)
             if fused_val:
                 val_x_dev = jax.device_put(
@@ -773,6 +790,13 @@ class Experiment:
                 val_labels_host = np.asarray(self.datamodule.val.labels)
             train_step = None
         else:
+            epd_cfg = int((self.config.get("train", {}) or {}).get(
+                "epochs_per_dispatch", 1) or 1)
+            if epd_cfg > 1:
+                print(
+                    f"[experiment] train.epochs_per_dispatch={epd_cfg} ignored: "
+                    "requires the fused-epoch path (train.fused_epoch)"
+                )
             train_step = make_train_step(
                 self.bundle, tx, spec, self.noise_level, self.state_shard,
                 self.batch_shard, repl_sharding=self.repl_shard,
@@ -873,6 +897,7 @@ class Experiment:
 
         block_results: Dict[int, tuple] = {}
         profiled = False
+        stop_pending = False
         for epoch in range(start_epoch, max_epochs):
             self.state = self.state.replace(frozen=self._scalar(self._frozen_flag(epoch)))
             batcher.set_epoch(epoch)
@@ -882,12 +907,18 @@ class Experiment:
             # fixed epoch index (which missed the tail/short-run cases in
             # block mode).
             will_dispatch = epoch not in block_results
+            # Prefer a post-compile (steady-state) dispatch, but when this is
+            # the run's ONLY dispatch (ep=1, or one block covering the whole
+            # run) trace it anyway rather than writing no profile at all.
+            dispatch_span = epd if (use_blocks and epoch + epd <= max_epochs) else 1
+            only_dispatch_left = epoch + dispatch_span >= max_epochs
             profiling = (
                 self.profile_dir is not None
                 and not profiled
-                and epoch > start_epoch
                 and will_dispatch
+                and (epoch > start_epoch or only_dispatch_left)
             )
+            profile_includes_compile = profiling and epoch == start_epoch
             if profiling:
                 os.makedirs(self.profile_dir, exist_ok=True)
                 jax.profiler.start_trace(self.profile_dir)
@@ -968,6 +999,10 @@ class Experiment:
                                 self.datamodule.val, num_viz_samples
                             )
                             viz.on_validation_epoch(gstep, v_logits, v_labels, diag)
+                            if cka is not None:
+                                self.logger.log(
+                                    cka.on_validation_epoch(gstep, diag), step=gstep
+                                )
                         except Exception as e:
                             print(f"[viz] step diagnostics skipped: {e}")
                     if self.debug and i == 0:
@@ -977,7 +1012,8 @@ class Experiment:
                 jax.block_until_ready(self.state.step)
                 jax.profiler.stop_trace()
                 profiled = True
-                print(f"[experiment] profiler trace written to {self.profile_dir}")
+                note = " (includes compilation)" if profile_includes_compile else ""
+                print(f"[experiment] profiler trace written to {self.profile_dir}{note}")
             train_loss = float(np.mean(jax.device_get(losses)))
             # block-mode epochs report their share of the block dispatch
             # (the loop timer only sees a dict pop for cached epochs)
@@ -1017,6 +1053,17 @@ class Experiment:
                     except Exception as e:  # diagnostics never fail training
                         print(f"[viz] epoch diagnostics skipped: {e}")
                 stop = early.step(mon)
+                if stop and not block_final and not stop_pending:
+                    # Block mode: the device state already contains training
+                    # through the block's final epoch (intermediate states are
+                    # never materialized host-side). Flush the remaining
+                    # cached epochs — no device work — so the checkpoint and
+                    # reported metrics land on the state we actually hold.
+                    stop_pending = True
+                    print(
+                        f"[experiment] early stopping triggered at epoch {epoch}; "
+                        "flushing to the block boundary"
+                    )
                 if block_final:
                     # In block mode intermediate states are not materialized
                     # host-side; checkpoints land on block boundaries.
@@ -1026,7 +1073,7 @@ class Experiment:
                         extra["plateau_state"] = plateau.state_dict()
                     self.ckpt.on_epoch_end(self.state, epoch, mon, config=self.config, extra=extra)
                 self.logger.log_epoch(epoch, epoch_metrics, step=int(self.state.step))
-                if stop:
+                if (stop or stop_pending) and block_final:
                     print(f"[experiment] early stopping at epoch {epoch}")
                     break
             else:
