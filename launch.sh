@@ -117,7 +117,7 @@ run_or_test() {
   [[ -n $ckpt_spec ]] && cmd+=(--ckpt "$ckpt_spec")
   [[ -n $devices ]] && cmd+=(-g "$devices")
   ((${#passthru[@]})) && cmd+=("${passthru[@]}")
-  printf '[launch] CMD=%s ' "${cmd[@]}"; echo
+  echo "[launch] CMD=${cmd[*]}"
   exec "${cmd[@]}"
 }
 
@@ -200,22 +200,24 @@ wandb_sweep() {
   full_id="$wb_entity/$wb_project/$sweep_id"
   echo "[launch] Sweep ID: $full_id"
 
-  local -a agent_pids=()
+  # ONE agent per host: a TPU admits a single process (concurrent agents
+  # would crash at jax init — the reference's per-GPU pinning has no TPU
+  # analogue). Extra -g ids are noted and ignored.
   IFS=',' read -r -a replica_ids <<<"${devices:-0}"
-  echo "[launch] Starting ${#replica_ids[@]} agent(s)"
-  local rid
-  for rid in "${replica_ids[@]}"; do
-    rid=${rid//[[:space:]]/}
-    [[ -n $rid ]] || continue
-    if [[ -n $agent_trials ]]; then
-      wandb agent --count "$agent_trials" "$full_id" &
-    else
-      wandb agent "$full_id" &
-    fi
-    agent_pids+=($!)
-    echo "  -> agent $rid PID ${agent_pids[-1]}"
-  done
-  trap 'echo; echo "Stopping sweep agents..."; kill "${agent_pids[@]}" 2>/dev/null || true; exit 0' INT TERM
+  if ((${#replica_ids[@]} > 1)); then
+    echo "[launch] NOTE: ${#replica_ids[@]} replica ids given, but the TPU runs"
+    echo "         one exclusive process — starting a single agent (scale out"
+    echo "         by running launch.sh sweep on more hosts)"
+  fi
+  local agent_pid
+  if [[ -n $agent_trials ]]; then
+    wandb agent --count "$agent_trials" "$full_id" &
+  else
+    wandb agent "$full_id" &
+  fi
+  agent_pid=$!
+  echo "  -> agent PID $agent_pid"
+  trap 'echo; echo "Stopping sweep agent..."; kill "$agent_pid" 2>/dev/null || true; exit 0' INT TERM
   wait
 }
 

@@ -37,6 +37,8 @@ def main() -> None:
     seed_everything(args.seed)
     config = load_config(args.file)
     config.setdefault("train", {})["save"] = False
+    # Reference propagates --debug into train.debug (`test.py:39`).
+    config["train"]["debug"] = args.debug
     if args.gpus is not None:
         config["train"]["gpus"] = args.gpus
 

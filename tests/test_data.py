@@ -39,6 +39,45 @@ def test_read_params_table_flat_and_pytables(tmp_path):
     np.testing.assert_allclose(via_table["log_g"], full["log_g"])
 
 
+def test_read_params_table_pandas_fixed_layout(tmp_path):
+    """pandas 'fixed' (BlockManagerFixed) stores block values TRANSPOSED —
+    shape (n_items, n_rows), read back by pandas with values.T. The h5py
+    fallback parser must honor that orientation (a (rows, items) read
+    returns one sample's values as a 'column')."""
+    import h5py
+
+    path = str(tmp_path / "fixed.h5")
+    rows = np.arange(12, dtype=np.float64)
+    data = {"log_g": rows * 0.1, "T_eff": 4000 + rows}
+    with h5py.File(path, "w") as f:
+        g = f.create_group("df")
+        g.create_dataset("axis0", data=np.array([b"log_g", b"T_eff"]))
+        g.create_dataset("axis1", data=np.arange(12))
+        g.create_dataset("block0_items", data=np.array([b"log_g", b"T_eff"]))
+        # pandas writes (n_items, n_rows)
+        g.create_dataset(
+            "block0_values", data=np.stack([data["log_g"], data["T_eff"]])
+        )
+    cols = read_params_table(path)
+    np.testing.assert_allclose(cols["log_g"], data["log_g"])
+    np.testing.assert_allclose(cols["T_eff"], data["T_eff"])
+    assert cols["log_g"].shape == (12,)
+
+
+def test_task_type_default_and_legacy_key_match_builder(tiny_config):
+    """Dataset selection must share the model builder's default ('cls',
+    reference `vit.py:21-27` / `builder.py:204`) and honor the legacy
+    ``model.task`` key — a 'reg' dataset feeding a 'cls' head trains garbage."""
+    from vit_tpu.data.datasets import dataset_from_config
+
+    cfg = dict(tiny_config)
+    cfg["model"] = dict(tiny_config["model"])
+    cfg["model"].pop("task_type")
+    assert isinstance(dataset_from_config(cfg), ClassSpecDataset)
+    cfg["model"]["task"] = "reg"
+    assert isinstance(dataset_from_config(cfg), RegSpecDataset)
+
+
 def test_class_dataset_labels(tiny_config):
     ds = ClassSpecDataset.from_config(tiny_config)
     ds.load_data("fit")

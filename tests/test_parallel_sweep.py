@@ -36,6 +36,19 @@ def test_grid_construction(sweep_base_config):
     assert cos.T_max == 2  # from train.ep
 
 
+def test_replica_device_selection():
+    """The flagship launch.sh lr grids must actually use the chips: 7 LRs on
+    8 cores -> 7 devices (one replica each), never gcd(7,8)=1."""
+    from vit_tpu.opt.parallel_sweep import _replica_devices
+
+    assert _replica_devices(7, 8) == 7   # stage 1 grid
+    assert _replica_devices(3, 8) == 3   # stage 2 grid
+    assert _replica_devices(8, 8) == 8
+    assert _replica_devices(12, 8) == 6  # largest divisor that fits
+    assert _replica_devices(1, 8) == 1
+    assert _replica_devices(5, 4) == 1   # prime > devices: no even split
+
+
 def test_opt_config_serialization():
     c = SweepConfig(0, 1e-3, "plateau", factor=0.5, patience=3)
     assert c.to_opt_config() == {"lr": 1e-3, "lr_sch": "plateau", "factor": 0.5, "patience": 3}
@@ -85,17 +98,24 @@ def test_vmapped_sweep_end_to_end(sweep_base_config, tmp_path):
     assert best_cfg["_meta"]["generator"] == "vit_tpu.opt.parallel_sweep"
 
 
-def test_sweep_requires_val(sweep_base_config, tmp_path):
+def test_sweep_without_val_path_uses_fallback(sweep_base_config, tmp_path):
+    """Reference parity: data.val_path falls back to file_path
+    (`dataloader/base.py:76`), so a sweep without an explicit val split
+    still ranks replicas by val metrics computed on the train file's
+    fixed-seed noisy copy."""
     with open(sweep_base_config) as f:
         cfg = yaml.safe_load(f)
     cfg["data"]["val_path"] = None
+    cfg["train"]["ep"] = 1
     path = str(tmp_path / "noval.yaml")
     with open(path, "w") as f:
         yaml.safe_dump(cfg, f)
     runner = ParallelSweepRunner(path, lr_values=[1e-3], results_dir=str(tmp_path / "r"))
-    # no validation split -> the sweep cannot rank replicas and must say so
-    with pytest.raises(RuntimeError, match="validation"):
-        runner.run()
+    best = runner.run()
+    assert best is not None and best.metric is not None
+    with open(runner.summary_path) as f:
+        summary = yaml.safe_load(f)
+    assert summary["results"][0]["status"] == "ok"
 
 
 def test_diverged_replica_isolated(sweep_base_config, tmp_path):

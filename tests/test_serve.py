@@ -33,6 +33,8 @@ def test_predict_denormalized(trained):
     # padding correctness: chunked sizes give the same result
     pred2 = Predictor.from_checkpoint(dict(cfg), ckpt="best", batch_size=7)
     np.testing.assert_allclose(pred2.predict(flux[:20]), out, rtol=1e-5)
+    # zero-row input: empty (0, num_labels) result, no crash
+    assert pred.predict(flux[:0]).shape == (0, 1)
 
 
 def test_predict_matches_experiment_eval(trained):

@@ -149,6 +149,25 @@ def test_resume_preserves_plateau_state(fast_config, monkeypatch, tmp_path):
         assert float(exp2.state.plateau_scale) < 1.0
 
 
+def test_val_fallback_without_val_path(fast_config, monkeypatch, tmp_path):
+    """data.val_path omitted: validation still runs on the file_path fallback
+    (the reference ALWAYS builds a val split, `basemodule.py:60-66` +
+    `dataloader/base.py:76`), while the plateau scheduler stays disabled
+    (reference gates it on an explicit val_path, `basemodule.py:158-166`)."""
+    monkeypatch.setenv("CKPT_DIR", str(tmp_path / "ckpt"))
+    cfg = dict(fast_config)
+    cfg["data"] = dict(fast_config["data"])
+    cfg["data"].pop("val_path")
+    cfg["train"] = dict(fast_config["train"], ep=2)
+    cfg["opt"] = {"type": "AdamW", "lr": 1e-9, "lr_sch": "plateau",
+                  "factor": 0.5, "patience": 0}
+    exp = Experiment(cfg, seed=0)
+    metrics = exp.fit()
+    assert "val_mae" in metrics and np.isfinite(metrics["val_mae"])
+    # plateau must be OFF: with lr~0 nothing improves, yet the scale holds
+    assert float(exp.state.plateau_scale) == 1.0
+
+
 def test_block_mode_early_stop_flushes_to_boundary(fast_config, monkeypatch, tmp_path, capsys):
     """epochs_per_dispatch>1: an early stop at a non-block-final epoch must
     flush the cached block epochs so the checkpoint and reported metrics

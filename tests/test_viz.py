@@ -112,6 +112,7 @@ def test_experiment_viz_integration(tiny_config, tmp_path, monkeypatch):
     cfg["opt"] = {"type": "AdamW", "lr": 1e-3, "lr_sch": "none"}
     cfg["viz"] = {
         "enable": True,
+        "save_local": True,  # train.save is off; force local GIF artifacts
         "save_dir": str(tmp_path / "viz"),
         "log_every_n_epochs": 1,
         "num_viz_samples": 16,
@@ -199,6 +200,7 @@ def test_step_frequency_viz(tiny_config, tmp_path, monkeypatch):
     cfg["opt"] = {"type": "AdamW", "lr": 1e-3, "lr_sch": "none"}
     cfg["viz"] = {
         "enable": True,
+        "save_local": True,  # train.save is off; force local GIF artifacts
         "save_dir": str(tmp_path / "viz"),
         "log_every_n_steps": 3,
         "num_viz_samples": 8,

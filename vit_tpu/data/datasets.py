@@ -327,19 +327,28 @@ class RegSpecDataset(BaseSpecDataset):
             setattr(self, k, v)
 
     def denormalize(self, y: np.ndarray) -> np.ndarray:
-        """Inverse of the label normalization (used by eval reports)."""
-        kind = self.label_norm
-        if kind in ("standard", "zscore") and self.label_mean is not None:
-            return y * np.where(np.abs(self.label_std) < 1e-8, 1.0, self.label_std) + self.label_mean
-        if kind == "minmax" and self.label_min is not None:
-            return y * (self.label_max - self.label_min) + self.label_min
-        return y
+        """Inverse of the label normalization (used by eval reports).
+
+        Delegates to the one shared implementation
+        (:func:`vit_tpu.viz.viz_utils.denormalize`, also used by serving).
+        """
+        from vit_tpu.viz.viz_utils import denormalize
+
+        return denormalize(y, self.label_norm, **self.norm_stats())
+
+
+def _normalize_task(config: dict, task_type: Optional[str] = None) -> str:
+    """('cls'|'reg') with the reference's default and legacy key
+    (`/root/reference/src/vit.py:21-27`: ``model.task_type`` or ``model.task``,
+    default 'cls' — the same default the model builder uses)."""
+    m = config.get("model", {}) or {}
+    task = str(task_type or m.get("task_type") or m.get("task") or "cls").lower()
+    return "cls" if task in ("cls", "class", "classification") else "reg"
 
 
 def dataset_from_config(config: dict, task_type: Optional[str] = None) -> BaseSpecDataset:
     """Pick the dataset class by ``model.task_type`` (reference `vit.py:30-42`)."""
-    task = task_type or (config.get("model", {}) or {}).get("task_type", "reg")
-    cls = ClassSpecDataset if str(task).lower() in ("cls", "class", "classification") else RegSpecDataset
+    cls = ClassSpecDataset if _normalize_task(config, task_type) == "cls" else RegSpecDataset
     return cls.from_config(config)
 
 
@@ -355,9 +364,7 @@ class SpecDataModule:
 
     def __init__(self, config: dict) -> None:
         self.config = config
-        self.task_type = str(
-            (config.get("model", {}) or {}).get("task_type", "reg")
-        ).lower()
+        self.task_type = _normalize_task(config)
         self.batch_size = int((config.get("train", {}) or {}).get("batch_size", 64))
         self.train: Optional[BaseSpecDataset] = None
         self.val: Optional[BaseSpecDataset] = None
@@ -379,8 +386,12 @@ class SpecDataModule:
             if self.train is None:
                 self.train = self._new_dataset()
                 self.train.load_data("fit")
-            has_val = bool((self.config.get("data", {}) or {}).get("val_path"))
-            if has_val and self.val is None:
+            # Reference parity: setup('fit') ALWAYS builds a val split —
+            # data.val_path falls back to file_path in the dataset
+            # (`basemodule.py:60-66`, `dataloader/base.py:76`). Only the
+            # plateau scheduler requires an *explicit* val_path (loop.py).
+            data_cfg = self.config.get("data", {}) or {}
+            if self.val is None and (data_cfg.get("val_path") or data_cfg.get("file_path")):
                 self.val = self._new_dataset()
                 self._propagate_stats(self.val)
                 self.val.load_data("val")

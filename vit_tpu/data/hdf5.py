@@ -81,8 +81,10 @@ def _read_pandas_fixed(f: h5py.File, key: str) -> Optional[Dict[str, np.ndarray]
     while f"block{i}_items" in grp and f"block{i}_values" in grp:
         items = [_decode(c) for c in grp[f"block{i}_items"][()]]
         values = np.asarray(grp[f"block{i}_values"][()])
+        # pandas BlockManagerFixed stores block values as (n_items, n_rows)
+        # and reads them back with values.T — column j is row j here.
         for j, name in enumerate(items):
-            cols[name] = values[:, j] if values.ndim == 2 else values
+            cols[name] = values[j] if values.ndim == 2 else values
         i += 1
     return cols or None
 
@@ -119,7 +121,9 @@ def read_params_table(
         if n is not None:
             df = df[:n]
         return {str(c): df[c].to_numpy() for c in df.columns}
-    except ImportError:
+    except Exception:
+        # Missing pytables, or a file pd.read_hdf cannot interpret (e.g. the
+        # raw-h5py layouts below) — continue down the fallback chain.
         pass
 
     with h5py.File(path, "r") as f:

@@ -103,9 +103,20 @@ class SweepResult:
         }
 
 
+def _replica_devices(n_replicas: int, n_devices: int) -> int:
+    """Largest divisor of the replica count that fits the device count.
+
+    One replica per core when R <= n_devices (the "one combo per TPU core"
+    contract, SURVEY §2.8); gcd would collapse e.g. the flagship 7-LR grid
+    on 8 cores to a single device.
+    """
+    return max(d for d in range(1, min(n_replicas, n_devices) + 1)
+               if n_replicas % d == 0)
+
+
 def _cosine_scale(epoch: int, t_max: int, eta_ratio: float) -> float:
-    t = min(epoch, t_max)
-    return eta_ratio + (1.0 - eta_ratio) * 0.5 * (1 + math.cos(math.pi * t / t_max))
+    # torch CosineAnnealingLR is periodic past T_max (no clamp).
+    return eta_ratio + (1.0 - eta_ratio) * 0.5 * (1 + math.cos(math.pi * epoch / t_max))
 
 
 class _VmapSweepEngine:
@@ -131,7 +142,7 @@ class _VmapSweepEngine:
         from vit_tpu.models.builder import get_model
         from vit_tpu.models.vit import compute_loss
         from vit_tpu.parallel.mesh import make_mesh
-        from vit_tpu.train.loop import TrainState
+        from vit_tpu.train.loop import TrainState, _mask_preprocessor
         from vit_tpu.train.metrics import regression_metrics, classification_metrics
         from vit_tpu.train.optim import (
             OptSpec,
@@ -162,9 +173,9 @@ class _VmapSweepEngine:
         noise_level = float((cfg.get("noise", {}) or {}).get("noise_level", 0) or 0)
         steps_per_epoch = max(1, -(-len(dm.train) // batch_size))
 
-        # Mesh: replica axis over every device when divisible, else 1 device.
+        # Mesh: replica axis over _replica_devices(R, n_dev) cores.
         n_dev = len(jax.devices())
-        dp = n_dev if R % n_dev == 0 else math.gcd(R, n_dev)
+        dp = _replica_devices(R, n_dev)
         mesh = make_mesh(num_devices=max(1, dp))
         rep_shard = NamedSharding(mesh, P("data"))  # replica axis sharded
         repl = NamedSharding(mesh, P())
@@ -202,6 +213,15 @@ class _VmapSweepEngine:
         )
         state = jax.device_put(state, rep_shard)
         loss_name = bundle.loss_name
+        has_preproc = bundle.has_preprocessor
+
+        def frozen_flag(epoch: int) -> float:
+            """Experiment._frozen_flag semantics (`prepca/callbacks.py:31-62`):
+            -1 permanent freeze; >0 freeze the first N epochs; 0 never."""
+            fe = bundle.freeze_epochs
+            if not has_preproc or fe == 0:
+                return 0.0
+            return 1.0 if (fe == -1 or epoch < fe) else 0.0
 
         def one_step(state: TrainState, batch, lr):
             rng, noise_rng, dropout_rng = jax.random.split(state.rng, 3)
@@ -216,8 +236,15 @@ class _VmapSweepEngine:
                 return compute_loss(logits, batch["label"], task, loss_name)
 
             loss, grads = jax.value_and_grad(loss_fn)(state.params)
+            if has_preproc:
+                # Same freeze semantics as the real training step
+                # (loop.py::_mask_preprocessor): the selected LR/scheduler
+                # must be tuned for the dynamics Experiment will actually run.
+                grads = _mask_preprocessor(grads, 1.0 - state.frozen)
             opt_state = set_learning_rate(state.opt_state, lr)
             updates, opt_state = tx.update(grads, opt_state, state.params)
+            if has_preproc:
+                updates = _mask_preprocessor(updates, 1.0 - state.frozen)
             params = jax.tree_util.tree_map(lambda p, u: p + u.astype(p.dtype), state.params, updates)
             return (
                 state.replace(step=state.step + 1, params=params, opt_state=opt_state, rng=rng),
@@ -275,6 +302,24 @@ class _VmapSweepEngine:
         # Host-side per-replica schedule state.
         base_lrs = np.asarray([c.lr for c in self.configs], np.float32)
         mode = "min" if self.metric_goal == "minimize" else "max"
+        # Resolve the ranking metric against what the task actually produces
+        # BEFORE building the schedulers — a missing key would otherwise read
+        # as NaN and deactivate every replica as 'diverged'.
+        metric_key = self.metric_name.replace("val_", "")
+        available = ("acc",) if task == "cls" else ("mae", "mse", "r2")
+        if metric_key not in available:
+            if task == "cls" and metric_key == "mae":
+                # CLI default on a classification config: follow the task
+                # monitor like Experiment does (acc, maximized).
+                print("[sweep] metric val_mae unavailable for cls; "
+                      "ranking by val_acc (maximize)")
+                metric_key, mode = "acc", "max"
+            else:
+                raise ValueError(
+                    f"metric '{self.metric_name}' is not produced by task "
+                    f"'{task}' (available: "
+                    f"{', '.join('val_' + a for a in available)})"
+                )
         plateaus = {
             i: PlateauScheduler(c.factor or 0.1, c.patience or 10, mode=mode)
             for i, c in enumerate(self.configs)
@@ -292,7 +337,6 @@ class _VmapSweepEngine:
                     scales[i] = plateaus[i].scale
             return base_lrs * scales
 
-        metric_key = self.metric_name.replace("val_", "")
         train_cols = {
             k: v for k, v in dm.train.arrays().items() if k in ("x", "error", "label")
         }
@@ -329,6 +373,10 @@ class _VmapSweepEngine:
                 )
                 lrs = jax.device_put(jnp.asarray(epoch_lrs(epoch)), rep_shard)
                 active_dev = jax.device_put(jnp.asarray(active), rep_shard)
+                if has_preproc:
+                    state = state.replace(frozen=jax.device_put(
+                        jnp.full((R,), frozen_flag(epoch), jnp.float32), rep_shard
+                    ))
                 state, _losses = vepoch(state, train_data_dev, perm, lrs, active_dev)
                 # per-replica validation
                 vb = Batcher(val_arrays, vbs, eval_mode=True)

@@ -36,11 +36,14 @@ def maybe_initialize_distributed() -> None:
 
     No-op for single-host runs (the common case on v4-8/v5e-8 slices).
     """
-    if os.environ.get("JAX_COORDINATOR_ADDRESS") and jax.process_count() == 1:
-        try:
-            jax.distributed.initialize()
-        except (RuntimeError, ValueError) as e:  # already initialized / single host
-            print(f"[mesh] jax.distributed.initialize skipped: {e}")
+    if not os.environ.get("JAX_COORDINATOR_ADDRESS"):
+        return  # single-host: decide from env alone — touching the backend
+        # here (e.g. jax.process_count()) would initialize it and make a
+        # later jax.distributed.initialize() impossible.
+    try:
+        jax.distributed.initialize()
+    except (RuntimeError, ValueError) as e:  # already initialized
+        print(f"[mesh] jax.distributed.initialize skipped: {e}")
 
 
 def make_mesh(

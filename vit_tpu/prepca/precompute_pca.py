@@ -36,7 +36,8 @@ def main() -> None:
     ap.add_argument("--limit", type=int, default=None, help="Limit number of spectra")
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--out", type=str, default=None,
-                    help="Output path; default=$PCA_DIR/pca_patch_{P}_s{S}.npz")
+                    help="Output name, prefixed with $PCA_DIR unless absolute "
+                         "(reference parity); default=pca_patch_{P}_s{S}.npz")
     ap.add_argument("--plot", action="store_true",
                     help="Save spectrum and top-component plots next to out")
     args = ap.parse_args()

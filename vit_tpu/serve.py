@@ -47,6 +47,19 @@ class Predictor:
             for k, v in (label_norm_stats or {}).items()
         }
         self.batch_size = int(batch_size)
+        if (
+            self.label_norm != "none"
+            and getattr(vit_config, "task_type", "reg") != "cls"
+            and not any(v is not None for v in self.label_norm_stats.values())
+        ):
+            # e.g. a torch checkpoint with no local meta.yaml: denormalize
+            # becomes the identity, silently breaking the "physical units"
+            # contract — make the degradation loud.
+            print(
+                f"[serve] label_norm='{self.label_norm}' but no normalization "
+                "stats were found in checkpoint meta — predictions will be "
+                "returned in NORMALIZED units"
+            )
         self._forward = jax.jit(
             lambda p, x: module.apply({"params": p}, x, deterministic=True)
         )
@@ -69,12 +82,12 @@ class Predictor:
 
         cfg = load_config(config) if isinstance(config, str) else dict(config)
         bundle = get_model(cfg)
+        # enabled=False: read-only — no checkpoint-dir creation side effects
+        # at serving time (read_meta does not need an enabled manager).
         mgr = CheckpointManager(
             default_ckpt_dir(), bundle.model_name, enabled=False
         )
-        meta = CheckpointManager(
-            default_ckpt_dir(), bundle.model_name, enabled=True
-        ).read_meta()
+        meta = mgr.read_meta()
 
         # Template params (raw input dim: eigvec rows for preprocessor models;
         # image models always take raw NHWC regardless of patch-PCA).
@@ -127,6 +140,8 @@ class Predictor:
     # -- inference -----------------------------------------------------------
     def _batched_logits(self, x: np.ndarray) -> np.ndarray:
         n = len(x)
+        if n == 0:
+            return np.zeros((0, int(self.vit_config.num_labels)), np.float32)
         bs = self.batch_size
         outs = []
         for i in range(0, n, bs):

@@ -429,6 +429,10 @@ class Experiment:
         self.sweep = sweep
         self.ckpt_path = ckpt_path
         self.seed = seed
+        # Multi-host FIRST: jax.distributed.initialize must run before
+        # anything touches the backend (jax.default_backend below would
+        # otherwise pin a single-host runtime).
+        maybe_initialize_distributed()
         seed_everything(seed)
         train_cfg0 = config.get("train", {}) or {}
         # Dropout-mask generation dominates small-model step time with the
@@ -471,7 +475,6 @@ class Experiment:
         self.prefetch_depth = get_prefetch_depth(config)
         if num_devices is None:
             num_devices = train_cfg.get("gpus")  # CLI-injected device count
-        maybe_initialize_distributed()  # no-op single-host; DCN across slices
         # Tensor parallelism: train.model_parallel splits a `model` mesh axis
         # (column-parallel kernels via infer_param_shardings); default 1 = the
         # reference's pure-DP mode.
@@ -611,11 +614,15 @@ class Experiment:
         batcher = Batcher(dataset.arrays(), bs, eval_mode=True)
         logits_all, labels_all = [], []
         params = self.state.params
-        for batch in prefetch_to_device(iter(batcher), sharding=self.batch_shard):
+        for i, batch in enumerate(
+            prefetch_to_device(iter(batcher), sharding=self.batch_shard)
+        ):
             logits = self._eval_step(params, batch)
             mask = np.asarray(jax.device_get(batch["mask"]))
             logits_all.append(np.asarray(jax.device_get(logits))[mask])
             labels_all.append(np.asarray(jax.device_get(batch["label"]))[mask])
+            if self.debug and i == 0:
+                break  # fast-dev-run: one eval batch (Lightning parity)
         return np.concatenate(logits_all), np.concatenate(labels_all)
 
     def _run_capture_eval(self, dataset, num_samples: int):
@@ -702,9 +709,14 @@ class Experiment:
         n_train = len(train_ds)
         steps_per_epoch = max(1, -(-n_train // self.batch_size))
         has_val = self.datamodule.val is not None and len(self.datamodule.val) > 0
+        # Reference parity: validation itself falls back to file_path, but the
+        # plateau scheduler is enabled only with an explicit data.val_path
+        # (`/root/reference/src/basemodule.py:158-166`).
+        explicit_val = bool((self.config.get("data", {}) or {}).get("val_path"))
 
         spec = OptSpec.from_config(
-            self.config, steps_per_epoch, monitor_metric=self.monitor, has_val=has_val
+            self.config, steps_per_epoch, monitor_metric=self.monitor,
+            has_val=explicit_val
         )
         tx = build_optimizer(spec)
         if self.state is None:
@@ -871,10 +883,9 @@ class Experiment:
             }
 
         # Training diagnostics (GIFs + CKA monitor), reference viz subsystem.
-        from vit_tpu.data.datasets import RegSpecDataset as _Reg
         from vit_tpu.viz.callback_factory import create_viz_callbacks
 
-        denorm = train_ds.denormalize if isinstance(train_ds, _Reg) else None
+        denorm = train_ds.denormalize if isinstance(train_ds, RegSpecDataset) else None
         viz, cka, viz_every, viz_every_steps = create_viz_callbacks(
             self.config.get("viz"),
             save_enabled=self.save,
@@ -1085,7 +1096,9 @@ class Experiment:
             try:
                 viz.on_train_end(self.logger)
                 if cka is not None:
-                    cka.on_train_end(viz.save_dir, self.logger)
+                    cka.on_train_end(
+                        viz.save_dir if viz.save_enabled else None, self.logger
+                    )
             except Exception as e:
                 print(f"[viz] train-end artifacts skipped: {e}")
 

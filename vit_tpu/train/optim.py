@@ -211,9 +211,12 @@ def schedule_scale(spec: OptSpec) -> Callable[[Any], Any]:
         # epoch-based schedulers, with optional linear warmup prefix
         main_epoch = jnp.maximum(epoch - warm, 0.0)
         if spec.scheduler == "cosine":
+            # torch CosineAnnealingLR is PERIODIC: T_cur keeps advancing past
+            # T_max and the cosine swings the LR back up (no clamp).
             eta_ratio = spec.eta_min / spec.lr if spec.lr else 0.0
-            t = jnp.clip(main_epoch, 0.0, float(spec.t_max))
-            main = eta_ratio + (1.0 - eta_ratio) * 0.5 * (1 + jnp.cos(math.pi * t / spec.t_max))
+            main = eta_ratio + (1.0 - eta_ratio) * 0.5 * (
+                1 + jnp.cos(math.pi * main_epoch / spec.t_max)
+            )
         elif spec.scheduler == "constant":
             main = jnp.where(
                 main_epoch < spec.constant_total_iters, spec.constant_factor, 1.0

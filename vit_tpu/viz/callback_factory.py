@@ -40,7 +40,10 @@ def create_viz_callbacks(
         model_name=model_name,
         param_names=param_names,
         denormalize=denormalize,
-        save_enabled=True,  # GIFs always written to viz.save_dir (cheap, local)
+        # Reference `callback_factory.py:28`: viz.save_local overrides the
+        # train.save default; without either, artifacts go W&B-only (or are
+        # skipped when no logger is attached).
+        save_enabled=bool(viz_cfg.get("save_local", save_enabled)),
     )
     cka = CKAMonitor() if viz_cfg.get("compute_cka", True) else None
     return viz, cka, every, every_steps

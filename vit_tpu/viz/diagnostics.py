@@ -227,18 +227,29 @@ class VizDiagnostics:
                 )
 
     def on_train_end(self, logger=None) -> Dict[str, str]:
-        """Write GIFs (+ final-frame PNGs); log to W&B when available."""
+        """Write GIFs (+ final-frame PNGs); log to W&B when available.
+
+        Reference semantics (`viz_callback.py:652-717`): with ``train.save``
+        the artifacts land in ``viz.save_dir``; without it they go to a tmp
+        dir purely to feed the W&B upload, and are skipped entirely when
+        neither destination exists.
+        """
         written: Dict[str, str] = {}
-        if not self.save_enabled:
-            return written
-        os.makedirs(self.save_dir, exist_ok=True)
         wandb_run = getattr(logger, "_wandb", None) if logger is not None else None
+        if not self.save_enabled and wandb_run is None:
+            return written
+        out_dir = self.save_dir
+        if not self.save_enabled:
+            import tempfile
+
+            out_dir = tempfile.mkdtemp(prefix="vit_tpu_viz_")
+        os.makedirs(out_dir, exist_ok=True)
         for key, frames in self.frames.items():
             if not frames:
                 continue
-            path = os.path.join(self.save_dir, f"{key}.gif")
+            path = os.path.join(out_dir, f"{key}.gif")
             gif_maker.save_gif(list(frames), path, duration=self.gif_duration)
-            frames[-1].save(os.path.join(self.save_dir, f"{key}_final.png"))
+            frames[-1].save(os.path.join(out_dir, f"{key}_final.png"))
             written[key] = path
             if wandb_run is not None:
                 try:
@@ -247,8 +258,14 @@ class VizDiagnostics:
                     wandb_run.log({f"viz/{key}": wandb.Video(path)})
                 except Exception as e:
                     print(f"[viz] wandb video upload skipped: {e}")
+        if not self.save_enabled:
+            # W&B-only: the tmp artifacts were consumed by the upload.
+            import shutil
+
+            shutil.rmtree(out_dir, ignore_errors=True)
+            return {}
         if written:
-            print(f"[viz] wrote {len(written)} GIFs to {self.save_dir}")
+            print(f"[viz] wrote {len(written)} GIFs to {out_dir}")
         return written
 
 
