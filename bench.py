@@ -177,6 +177,46 @@ def bench_eval(state, batch, eval_step):
     return float(np.median(times) * 1e3)
 
 
+def bench_lr_sweep() -> float:
+    """Wall-clock of the 7-value LR sweep as ONE vmapped launch (BASELINE
+    target metric #3): the baseline workload at 4 epochs, 7 replicas trained
+    simultaneously, including compile. The reference runs 7 independent
+    processes; here the whole grid is one program."""
+    import tempfile
+
+    import yaml
+
+    from vit_tpu.opt.parallel_sweep import ParallelSweepRunner
+
+    cfg = _config("32")
+    cfg["train"]["ep"] = 4
+    cfg["data"] = {"param": "log_g", "label_norm": "minmax",
+                   "file_path": "__synthetic__"}
+    with tempfile.TemporaryDirectory() as td:
+        # Synthetic data: the sweep engine loads via SpecDataModule, so
+        # stage a real (small) HDF5 file in the reference schema.
+        from vit_tpu.data.synthetic import write_dummy_h5
+
+        h5 = f"{td}/bench.h5"
+        write_dummy_h5(h5, n=2048, length=4096, seed=0)
+        cfg["data"].update(file_path=h5, val_path=h5, num_samples=2048)
+        cfg_path = f"{td}/bench_sweep.yaml"
+        with open(cfg_path, "w") as f:
+            yaml.safe_dump(cfg, f)
+        runner = ParallelSweepRunner(
+            cfg_path,
+            lr_values=[1e-5, 5e-5, 1e-4, 5e-4, 1e-3, 5e-3, 1e-2],
+            schedulers=["none"],
+            results_dir=f"{td}/runs",
+            seed=0,
+        )
+        t0 = time.perf_counter()
+        best = runner.run()
+        dt = time.perf_counter() - t0
+        assert best is not None
+    return dt
+
+
 def bench_image_family():
     """Train-step throughput for the standard image-ViT presets (bf16).
 
@@ -290,6 +330,7 @@ def main() -> None:
         ips_bf16, _ = bench_fused(state3, data3, perm3, None, epoch3, spe3)
 
         image_metrics = bench_image_family()
+        lr_sweep_wall_s = bench_lr_sweep()
     print(setup_log.getvalue(), file=sys.stderr)
 
     import jax
@@ -305,6 +346,7 @@ def main() -> None:
             "train_ips_per_step_path": round(ips_step, 1),
             "train_ips_bf16_fused": round(ips_bf16, 1),
             "eval_step_p50_ms": round(eval_p50_ms, 3),
+            "lr_sweep_7x4ep_wall_s": round(lr_sweep_wall_s, 1),
             "batch_size": BATCH,
             "n_train": N_TRAIN,
             "epochs_per_dispatch": EPOCHS_PER_DISPATCH,

@@ -31,7 +31,7 @@ modes
            stage 2: best LR x {plateau(0.8/10), cosine, none}
          artifacts land in opt_runs/sweep/parallel_sweep_<ts>/
          (summary.yaml, best_config.yaml); --dry-run previews the grid
-  sweep  create a W&B sweep and start one agent per replica id
+  sweep  create a W&B sweep and start one agent (one TPU process/host)
 
 options
   -c, --config PATH     YAML config (run/test/lr; sweep: the sweep YAML)

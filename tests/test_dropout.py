@@ -29,6 +29,30 @@ def test_hash_dropout_deterministic_and_seed_sensitive():
     assert ((a > 0) != (c > 0)).mean() > 0.1
 
 
+def test_hash_dropout_seed_high_bit_sensitive():
+    """The seed multiplier must be ODD: an even one discards the seed's
+    high bit, making seeds s and s ^ 0x80000000 collide (halving the
+    effective seed space of every model-body dropout)."""
+    x = jnp.ones((64, 64))
+    a = np.asarray(hash_dropout(x, 0.5, 123)) > 0
+    b = np.asarray(hash_dropout(x, 0.5, 123 - 2**31)) > 0
+    assert (a != b).mean() > 0.3
+
+
+def test_hash_dropout_module_requires_deterministic():
+    """nn.Dropout parity: omitting `deterministic` (attribute AND call arg)
+    must raise via merge_param, not silently disable dropout."""
+    m = HashDropout(rate=0.5)
+    x = jnp.ones((4, 4))
+    with pytest.raises(ValueError):
+        m.init_with_output({"params": jax.random.PRNGKey(0),
+                            "dropout": jax.random.PRNGKey(1)}, x)
+    # attribute-only form works like nn.Dropout
+    m2 = HashDropout(rate=0.5, deterministic=True)
+    (y, _) = m2.init_with_output({"params": jax.random.PRNGKey(0)}, x)
+    np.testing.assert_array_equal(np.asarray(y), np.asarray(x))
+
+
 def test_hash_dropout_axis_decorrelation():
     """(i, j) and (j, i) masks must not coincide (axis mixing works)."""
     x = jnp.ones((128, 128))

@@ -12,7 +12,7 @@ def _rand(shape, seed):
     return jnp.asarray(np.random.default_rng(seed).standard_normal(shape), jnp.float32)
 
 
-@pytest.mark.parametrize("rows", [129, 200, 256, 1000])
+@pytest.mark.parametrize("rows", [129, 200, 256, 1000, 1100])
 def test_fused_mlp_forward_matches_reference(rows):
     d, f = 32, 128
     x = _rand((rows, d), 0)

@@ -54,5 +54,5 @@ def test_ring_gradients_match_reference(mesh8):
 
 def test_ring_rejects_indivisible_length(mesh8):
     q = jnp.zeros((1, 2, 130, 16))
-    with pytest.raises(ValueError, match="divide"):
+    with pytest.raises(ValueError, match="divisible"):
         ring_attention(q, q, q, mesh=mesh8)

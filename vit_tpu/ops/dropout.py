@@ -20,19 +20,23 @@ differences").
 
 from __future__ import annotations
 
+from typing import Optional
+
 import jax
 import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
-from vit_tpu.ops.flash_attention import _fmix32, _keep_threshold
+from vit_tpu.ops.flash_attention import _M1, _fmix32, _keep_threshold
 
 __all__ = ["hash_dropout", "HashDropout"]
 
-# distinct odd multipliers per axis (splitmix64/murmur-style constants)
+# distinct ODD multipliers per axis (splitmix64/murmur-style constants);
+# odd is required — an even multiplier discards the operand's high bit(s),
+# collapsing distinct seeds/coordinates onto the same mask stream.
 _AXIS_MULTS = (0x9E3779B1, 0x85EBCA6B, 0xC2B2AE35, 0x27D4EB2F,
-               0x165667B1, 0xD3A2646C)
-_M1 = 0x85EBCA6B
+               0x165667B1, 0xD3A2646D)
+_SEED_MULT = 0x7FEB352D  # odd, and not shared with any axis
 
 
 def _coord_hash(shape, seed):
@@ -45,7 +49,7 @@ def _coord_hash(shape, seed):
     u32 = lambda v: jax.lax.convert_element_type(v, jnp.uint32)  # noqa: E731
     if len(shape) > len(_AXIS_MULTS):
         raise ValueError(f"hash_dropout supports up to {len(_AXIS_MULTS)} dims")
-    x = u32(seed) * np.uint32(_AXIS_MULTS[-1])
+    x = u32(seed) * np.uint32(_SEED_MULT)
     for axis, mult in zip(range(len(shape)), _AXIS_MULTS):
         idx = jax.lax.broadcasted_iota(jnp.int32, shape, axis)
         x = x + u32(idx) * np.uint32(mult)
@@ -82,12 +86,21 @@ class HashDropout(nn.Module):
     Uses the ``dropout`` RNG collection exactly like ``nn.Dropout`` (so the
     call-site API and reproducibility-from-seed are unchanged) but derives
     a scalar seed from the key words instead of generating random bits.
+    ``deterministic`` follows ``nn.Dropout``'s merge_param contract: it must
+    be supplied either as a module attribute or a call argument — omitting
+    both raises instead of silently disabling dropout.
     """
 
     rate: float
+    deterministic: Optional[bool] = None
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
+    def __call__(
+        self, x: jnp.ndarray, deterministic: Optional[bool] = None
+    ) -> jnp.ndarray:
+        deterministic = nn.merge_param(
+            "deterministic", self.deterministic, deterministic
+        )
         if deterministic or self.rate <= 0.0:
             return x
         return hash_dropout(x, self.rate, _key_to_seed(self.make_rng("dropout")))

@@ -35,6 +35,8 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from vit_tpu.ops.flash_attention import _fit_block, _round_up
+
 __all__ = ["fused_mlp"]
 
 _SQRT_HALF = 0.7071067811865476
@@ -62,10 +64,6 @@ def _dgelu_f32(x):
     cdf = 0.5 * (1.0 + _erf_f32(x * _SQRT_HALF))
     pdf = _INV_SQRT_2PI * jnp.exp(-0.5 * x * x)
     return cdf + x * pdf
-
-
-def _round_up(x: int, m: int) -> int:
-    return -(-x // m) * m
 
 
 # ---------------------------------------------------------------------------
@@ -262,8 +260,11 @@ def fused_mlp(
             fused_mlp._warned = True
         return _jnp_mlp(x2, w1, b1, w2, b2).reshape(orig_shape)
 
-    block = max(128, min(block_r, _round_up(rows, 128)))
-    r_pad = _round_up(rows, block)
+    # Pad to the 128-sublane granule only, then shrink the block so it
+    # divides that — padding to a full 1024-row block would waste up to
+    # ~8x MXU work on garbage rows for small row counts.
+    r_pad = _round_up(rows, 128)
+    block = _fit_block(block_r, r_pad)
     if r_pad != rows:
         x2 = jnp.pad(x2, ((0, r_pad - rows), (0, 0)))
     y = _fused_core(

@@ -20,9 +20,11 @@ The math is the standard (non-causal) softmax attention — bit-compatible
 with :func:`vit_tpu.ops.flash_attention.flash_attention` up to fp rounding —
 and JAX autodiff differentiates through the scan + ppermute (the transpose
 of a ring shift is the reverse shift), so no hand-written backward is
-needed. Per-device memory is O(T_local^2 / N) for the transient block
-scores and O(T_local) for K/V — context length scales linearly with the
-ring size.
+needed; the scan body is ``jax.checkpoint``-ed so the backward recomputes
+each step's probability block instead of storing all N of them. Per-device
+memory is O(T_local^2) transient for one block's scores (forward AND
+backward) and O(T_local) persistent for K/V — context length scales
+linearly with the ring size, for training as well as inference.
 
 Usage (T must divide by the mesh axis size)::
 
@@ -69,6 +71,12 @@ def _ring_body(q, k, v, axis: str, scale: float):
         l = l * alpha + p.sum(axis=-1, keepdims=True)
         return acc, m_new, l
 
+    # Rematerialize per ring step: without this, autodiff stores the
+    # (B, H, Tl, Tl) probability block of EVERY scan step as a residual —
+    # O(T^2/N) per device, defeating the long-context purpose. Checkpointing
+    # keeps only the O(Tl*d) step inputs and recomputes s/p in the backward.
+    attend = jax.checkpoint(attend)
+
     def step(carry, _):
         acc, m, l, k_cur, v_cur = carry
         acc, m, l = attend(acc, m, l, k_cur, v_cur)
@@ -100,7 +108,10 @@ def ring_attention(
     b, h, t, d = q.shape
     n = mesh.shape[axis]
     if t % n != 0:
-        raise ValueError(f"sequence length {t} must divide the '{axis}' axis size {n}")
+        raise ValueError(
+            f"sequence length {t} must be divisible by the '{axis}' "
+            f"axis size {n}"
+        )
     spec = P(None, None, axis, None)
     fn = jax.shard_map(
         partial(_ring_body, axis=axis, scale=d**-0.5),
