@@ -152,3 +152,29 @@ def test_predict_image_model(tmp_path, monkeypatch):
     proba = pred.predict_proba(x)
     assert proba.shape == (20, 10)
     np.testing.assert_allclose(proba.sum(axis=1), 1.0, rtol=1e-5)
+
+
+def test_predict_cli_load_inputs_rejects_unknown_npz(tmp_path):
+    """scripts/predict.py must name the missing key instead of silently
+    feeding an arbitrary array (e.g. labels) to the model."""
+    import importlib.util
+    import os
+
+    import numpy as np
+    import pytest
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    spec = importlib.util.spec_from_file_location(
+        "predict_cli", os.path.join(repo, "scripts", "predict.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    bad = tmp_path / "bad.npz"
+    np.savez(bad, labels=np.zeros((4, 2)))
+    with pytest.raises(KeyError, match="images"):
+        mod.load_inputs(str(bad), None)
+
+    ok = tmp_path / "ok.npz"
+    np.savez(ok, x=np.zeros((4, 8), np.float32))
+    assert mod.load_inputs(str(ok), 2).shape == (2, 8)
