@@ -24,8 +24,14 @@ def test_from_config_resolves_scheduler_aliases():
            "train": {"ep": 7}}
     spec = OptSpec.from_config(cfg, steps_per_epoch=5)
     assert spec.scheduler == "cosine"
-    assert spec.t_max == 7  # defaults to train.ep
+    # reference kwarg extraction reads the OPT section only: T_max ->
+    # opt.ep -> 100 (train.ep does NOT set the cosine period)
+    assert spec.t_max == 100
     assert spec.lr == 0.01
+    cfg["opt"]["ep"] = 7
+    assert OptSpec.from_config(cfg, steps_per_epoch=5).t_max == 7
+    cfg["opt"]["T_max"] = 3
+    assert OptSpec.from_config(cfg, steps_per_epoch=5).t_max == 3
 
 
 def test_from_config_plateau_disabled_without_val():
@@ -90,6 +96,34 @@ def test_optimizer_table_fallbacks():
                  "adamax", "rprop", "asgd", "sparseadam"):
         tx = build_optimizer(_spec(opt_type=name))
         assert tx is not None
+
+
+def test_every_listed_optimizer_updates():
+    """Every name in the 11-optimizer table must survive a real
+    tx.update(grads, state, params) call — lbfgs previously crashed at the
+    first step because optax's default zoom linesearch demands value/grad/
+    value_fn kwargs the train step never passes."""
+    import jax.numpy as jnp
+
+    for name in ("adam", "adamw", "sgd", "rmsprop", "adadelta", "adagrad",
+                 "adamax", "rprop", "asgd", "sparseadam", "lbfgs"):
+        tx = build_optimizer(_spec(opt_type=name))
+        params = {"w": jnp.ones((4,))}
+        state = tx.init(params)
+        updates, _ = tx.update({"w": jnp.full((4,), 0.1)}, state, params)
+        assert np.all(np.isfinite(np.asarray(updates["w"]))), name
+
+
+def test_plateau_counts_nan_as_bad_epoch():
+    """torch ReduceLROnPlateau parity: NaN fails is_better -> bad epoch ->
+    the LR is eventually reduced (previously NaN was skipped entirely and a
+    diverged run kept full LR until the 500-epoch early stop)."""
+    from vit_tpu.train.optim import PlateauScheduler
+
+    p = PlateauScheduler(factor=0.5, patience=1, mode="min")
+    p.step(1.0)
+    assert p.step(float("nan")) == 1.0   # bad 1
+    assert p.step(float("nan")) == 0.5   # bad 2 > patience -> reduce
 
 
 def test_unknown_optimizer_raises():

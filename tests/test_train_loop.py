@@ -149,6 +149,44 @@ def test_resume_preserves_plateau_state(fast_config, monkeypatch, tmp_path):
         assert float(exp2.state.plateau_scale) < 1.0
 
 
+def test_dataset_smaller_than_batch(fast_config, monkeypatch, tmp_path):
+    """n_train < batch_size: the epoch permutation must cycle multiple times
+    (single-cycle padding produced a short vector that crashed the
+    fused-epoch reshape at trace time)."""
+    monkeypatch.setenv("CKPT_DIR", str(tmp_path / "ckpt"))
+    cfg = dict(fast_config)
+    cfg["data"] = dict(fast_config["data"], num_samples=10)
+    cfg["train"] = dict(fast_config["train"], ep=1, batch_size=64,
+                        fused_epoch=True)
+    exp = Experiment(cfg, seed=0, num_devices=1)
+    metrics = exp.fit()
+    assert np.isfinite(metrics["train_loss"])
+    assert int(exp.state.step) == 1  # ceil(10/64) = 1 step/epoch
+
+
+def test_fresh_run_does_not_inherit_previous_best(fast_config, monkeypatch, tmp_path):
+    """Lightning parity: ModelCheckpoint tracks best IN-MEMORY per run. A
+    fresh run with the same model name must not seed its best tracker from
+    the previous run's meta.yaml (which silently suppressed best-saving and
+    made run() test stale weights)."""
+    monkeypatch.setenv("CKPT_DIR", str(tmp_path / "ckpt"))
+    cfg = dict(fast_config)
+    cfg["train"] = dict(fast_config["train"], ep=2, save=True)
+    exp1 = Experiment(cfg, seed=0)
+    exp1.fit()
+    assert exp1.ckpt.best_value is not None
+
+    exp2 = Experiment(dict(cfg), seed=1)
+    assert exp2.ckpt.best_value is None  # no inheritance pre-fit
+    exp2.fit()
+    assert exp2.ckpt.best_epoch is not None  # saved its OWN best
+
+    # --ckpt resume DOES restore the tracker
+    exp3 = Experiment(dict(cfg), ckpt_path="last", seed=0)
+    exp3.fit()  # load_best_from_meta runs inside fit
+    assert exp3.ckpt.best_value is not None
+
+
 def test_val_fallback_without_val_path(fast_config, monkeypatch, tmp_path):
     """data.val_path omitted: validation still runs on the file_path fallback
     (the reference ALWAYS builds a val split, `basemodule.py:60-66` +

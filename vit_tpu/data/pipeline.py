@@ -37,7 +37,11 @@ def epoch_permutation(
     order = np.random.default_rng(seed + epoch).permutation(n)
     total = steps_per_epoch * batch_size
     if total > len(order):
-        order = np.concatenate([order, order[: total - len(order)]])
+        # Cycle as many times as needed (n < batch_size needs > 1 extra
+        # cycle; a single-cycle pad produced a short vector that crashed
+        # the fused-epoch reshape). Bit-equal to the old pad when one
+        # cycle suffices.
+        order = np.tile(order, -(-total // len(order)))
     return np.asarray(order[:total], np.int32)
 
 
@@ -113,7 +117,8 @@ class Batcher:
                 if self.eval_mode:
                     pad = np.repeat(idx[-1:], bs - n_real)
                 else:
-                    pad = order[: bs - n_real]  # cycle from epoch start
+                    # cycle from epoch start, repeating if n < batch_size
+                    pad = np.resize(order, bs - n_real)
                 idx = np.concatenate([idx, pad])
             batch = {k: v[idx] for k, v in self.arrays.items()}
             if self.eval_mode:

@@ -58,7 +58,10 @@ class CheckpointManager:
         self.best_epoch: Optional[int] = None
         if enabled:
             os.makedirs(self.dir, exist_ok=True)
-            self._load_meta()
+        # Lightning parity: ModelCheckpoint tracks best IN-MEMORY per run.
+        # A fresh run with the same model_name must not inherit a previous
+        # run's best (which would both skip best-saving and make run() test
+        # stale weights); --ckpt resume restores it via load_best_from_meta.
 
     # -- paths ---------------------------------------------------------
     @property
@@ -72,7 +75,8 @@ class CheckpointManager:
     def _meta_path(self) -> str:
         return os.path.join(self.dir, "meta.yaml")
 
-    def _load_meta(self) -> None:
+    def load_best_from_meta(self) -> None:
+        """Seed the best tracker from a previous run's meta (resume only)."""
         if os.path.exists(self._meta_path()):
             with open(self._meta_path()) as f:
                 meta = yaml.safe_load(f) or {}

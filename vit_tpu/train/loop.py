@@ -176,6 +176,32 @@ def _make_grads_fn(bundle: ModelBundle, noise_level: float, accum_steps: int = 1
     return grads_fn
 
 
+def _make_step_body(grads_fn, tx, spec, schedule, has_preproc):
+    """The ONE training-step semantics shared by the per-step and fused-epoch
+    paths (their bit-equivalence is a package invariant, CLAUDE.md):
+    ``(state, batch) -> (new_state, (loss, lr))``."""
+
+    def step_body(state: TrainState, batch):
+        rng, noise_rng, dropout_rng = jax.random.split(state.rng, 3)
+        loss, grads = grads_fn(state.params, batch, noise_rng, dropout_rng)
+        if has_preproc:
+            grads = _mask_preprocessor(grads, 1.0 - state.frozen)
+        lr = spec.lr * schedule(state.step) * state.plateau_scale
+        opt_state = set_learning_rate(state.opt_state, lr)
+        updates, opt_state = tx.update(grads, opt_state, state.params)
+        if has_preproc:
+            updates = _mask_preprocessor(updates, 1.0 - state.frozen)
+        params = jax.tree_util.tree_map(
+            lambda p, u: p + u.astype(p.dtype), state.params, updates
+        )
+        new_state = state.replace(
+            step=state.step + 1, params=params, opt_state=opt_state, rng=rng
+        )
+        return new_state, (loss, lr)
+
+    return step_body
+
+
 def make_train_step(
     bundle: ModelBundle,
     tx,
@@ -199,23 +225,10 @@ def make_train_step(
         micro_constraint=_micro_constraint(batch_sharding_) if accum_steps > 1 else None,
     )
 
+    step_body = _make_step_body(grads_fn, tx, spec, schedule, has_preproc)
+
     def train_step(state: TrainState, batch: Dict[str, jnp.ndarray]):
-        rng, noise_rng, dropout_rng = jax.random.split(state.rng, 3)
-        loss, grads = grads_fn(state.params, batch, noise_rng, dropout_rng)
-        if has_preproc:
-            keep = 1.0 - state.frozen
-            grads = _mask_preprocessor(grads, keep)
-        lr = spec.lr * schedule(state.step) * state.plateau_scale
-        opt_state = set_learning_rate(state.opt_state, lr)
-        updates, opt_state = tx.update(grads, opt_state, state.params)
-        if has_preproc:
-            updates = _mask_preprocessor(updates, 1.0 - state.frozen)
-        params = jax.tree_util.tree_map(
-            lambda p, u: (p + u.astype(p.dtype)), state.params, updates
-        )
-        new_state = state.replace(
-            step=state.step + 1, params=params, opt_state=opt_state, rng=rng
-        )
+        new_state, (loss, lr) = step_body(state, batch)
         return new_state, {"loss": loss, "lr": lr}
 
     kwargs = {}
@@ -277,23 +290,7 @@ def make_train_epoch(
         micro_constraint=_micro_constraint(batch_constraint) if accum_steps > 1 else None,
     )
 
-    def one_step(state, batch):
-        rng, noise_rng, dropout_rng = jax.random.split(state.rng, 3)
-        loss, grads = grads_fn(state.params, batch, noise_rng, dropout_rng)
-        if has_preproc:
-            grads = _mask_preprocessor(grads, 1.0 - state.frozen)
-        lr = spec.lr * schedule(state.step) * state.plateau_scale
-        opt_state = set_learning_rate(state.opt_state, lr)
-        updates, opt_state = tx.update(grads, opt_state, state.params)
-        if has_preproc:
-            updates = _mask_preprocessor(updates, 1.0 - state.frozen)
-        params = jax.tree_util.tree_map(
-            lambda p, u: p + u.astype(p.dtype), state.params, updates
-        )
-        new_state = state.replace(
-            step=state.step + 1, params=params, opt_state=opt_state, rng=rng
-        )
-        return new_state, (loss, lr)
+    one_step = _make_step_body(grads_fn, tx, spec, schedule, has_preproc)
 
     def run_one_epoch(state, data, perm, val_x):
         # ONE gather for the whole epoch (cheap, bandwidth-bound), then scan
@@ -727,6 +724,12 @@ class Experiment:
         # dispatch-bound models. Under DP the batches (train and fused-val)
         # are sharded over the data axis inside the dispatch.
         fused_cfg = (self.config.get("train", {}) or {}).get("fused_epoch", "auto")
+        # Normalize truthy config spellings (1, 'true', 'yes' from CLI/sweep
+        # overrides) — `fused_cfg is True` alone would silently drop them.
+        if isinstance(fused_cfg, str) and fused_cfg.strip().lower() != "auto":
+            fused_cfg = fused_cfg.strip().lower() in ("1", "true", "yes", "on")
+        elif not isinstance(fused_cfg, (bool, str)):
+            fused_cfg = bool(fused_cfg)
         train_cols = {
             k: v for k, v in train_ds.arrays().items() if k in ("x", "error", "label")
         }
@@ -738,6 +741,11 @@ class Experiment:
         )
         if fused_cfg is False:
             use_fused = False
+        if fused_cfg is True and not use_fused:
+            why = "debug mode" if self.debug else (
+                f"epoch data {data_bytes / 1e9:.1f} GB exceeds the 4 GB HBM gate"
+            )
+            print(f"[experiment] train.fused_epoch=true ignored: {why}")
         fused_val = False
         use_blocks, epd, train_epoch_block = False, 1, None
         val_x_dev = val_labels_host = None
@@ -817,6 +825,7 @@ class Experiment:
 
         start_epoch = 0
         if self.ckpt_path:
+            self.ckpt.load_best_from_meta()  # resume best-tracker state too
             restored = CheckpointManager.restore(
                 self.ckpt.resolve(self.ckpt_path), self.state
             )
@@ -860,8 +869,8 @@ class Experiment:
                 early.load_state_dict(meta["early_stop_state"])
 
         batcher = Batcher(
-            train_ds.arrays(),
-            self.batch_size,
+            train_cols,  # x/error/label only — 'flux' duplicates 'x' for the
+            self.batch_size,  # train split; don't transfer it every step
             shuffle=not self.debug,
             seed=self.seed,
         )
@@ -1083,14 +1092,26 @@ class Experiment:
                     if plateau is not None:
                         extra["plateau_state"] = plateau.state_dict()
                     self.ckpt.on_epoch_end(self.state, epoch, mon, config=self.config, extra=extra)
-                self.logger.log_epoch(epoch, epoch_metrics, step=int(self.state.step))
+                self.logger.log_epoch(
+                    epoch, epoch_metrics,
+                    # per-epoch step even in block mode (state.step is the
+                    # block-final step for cached epochs; identical-step
+                    # rows would coalesce in W&B charts)
+                    step=(epoch + 1) * steps_per_epoch,
+                )
                 if (stop or stop_pending) and block_final:
                     print(f"[experiment] early stopping at epoch {epoch}")
                     break
             else:
                 if block_final:
                     self.ckpt.on_epoch_end(self.state, epoch, None, config=self.config, extra=ckpt_extra)
-                self.logger.log_epoch(epoch, epoch_metrics, step=int(self.state.step))
+                self.logger.log_epoch(
+                    epoch, epoch_metrics,
+                    # per-epoch step even in block mode (state.step is the
+                    # block-final step for cached epochs; identical-step
+                    # rows would coalesce in W&B charts)
+                    step=(epoch + 1) * steps_per_epoch,
+                )
 
         if viz is not None:
             try:

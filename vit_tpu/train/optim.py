@@ -7,8 +7,10 @@ Semantic parity with the reference's ``OptModule``
 * 11-name optimizer table (adam/adamw/sgd/rmsprop/adadelta/adagrad/adamax/
   asgd/lbfgs/rprop/sparseadam — the last two map to their closest optax
   equivalents: asgd->sgd, sparseadam->adam, with a warning).
-* Schedulers: ``cosine`` (CosineAnnealingLR: T_max from ``opt.T_max`` or
-  ``train.ep``, optional eta_min; stepped per *epoch*), ``onecycle``
+* Schedulers: ``cosine`` (CosineAnnealingLR: T_max from ``opt.T_max`` ->
+  ``opt.ep`` -> 100, the reference's own kwarg extraction
+  (`optimizer.py:69`); periodic past T_max like torch; stepped per
+  *epoch*), ``onecycle``
   (per-*step* cosine one-cycle with torch defaults pct_start=0.3,
   div_factor=25, final_div_factor=1e4), ``constant`` (factor until
   total_iters epochs), ``plateau`` (host-driven multiplicative scale, see
@@ -125,7 +127,10 @@ class OptSpec:
 
         warmup_ratio = float(warmup_cfg.get("ratio", opt_cfg.get("warmup_ratio", 0.0)) or 0.0)
         warmup_epochs = warmup_cfg.get("epochs", opt_cfg.get("warmup_epochs"))
-        t_max = int(opt_cfg.get("T_max", total_epochs))
+        # Reference kwarg extraction reads the OPT section only:
+        # T_max -> opt.ep -> 100 (`optimizer.py:69`); train.ep does NOT
+        # feed the cosine period.
+        t_max = int(opt_cfg.get("T_max", opt_cfg.get("ep", 100)))
         if warmup_epochs is not None:
             warmup_epochs = int(warmup_epochs)
         elif warmup_ratio > 0:
@@ -171,7 +176,16 @@ def _core_optimizer(name: str, learning_rate, weight_decay: float):
     if name == "sgd":
         tx = optax.sgd(learning_rate)
     elif name == "lbfgs":
-        tx = optax.lbfgs(learning_rate)
+        # linesearch=None: optax's default zoom linesearch needs
+        # value/grad/value_fn threaded through tx.update (the train step
+        # passes grads only). Plain fixed-step L-BFGS also matches torch
+        # LBFGS's default line_search_fn=None.
+        tx = optax.lbfgs(learning_rate, linesearch=None)
+    elif name == "rmsprop":
+        # torch.optim.RMSprop's alpha default is 0.99 (optax's decay
+        # default 0.9 would average squared grads over a 10x shorter
+        # horizon than the reference).
+        tx = optax.rmsprop(learning_rate, decay=0.99)
     else:
         tx = getattr(optax, name)(learning_rate)
     if weight_decay:
@@ -277,7 +291,17 @@ class PlateauScheduler:
         return value > self.best * (1 + self.threshold)
 
     def step(self, value: float) -> float:
-        if value is None or not math.isfinite(value):
+        if value is None:
+            return self.scale
+        if not math.isfinite(value):
+            # torch ReduceLROnPlateau: NaN fails is_better -> counts as a
+            # bad epoch and eventually reduces the LR (which can rescue a
+            # diverged run long before the 500-epoch early stop).
+            self.num_bad += 1
+            if self.num_bad > self.patience:
+                self.scale *= self.factor
+                self.num_bad = 0
+                print(f"[plateau] reducing LR scale to {self.scale:.3e}")
             return self.scale
         if self._improved(value):
             self.best = value
