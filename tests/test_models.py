@@ -173,3 +173,98 @@ def test_image_vit_preset(tiny_config):
     variables = jax.eval_shape(lambda: model.init(jax.random.PRNGKey(0), x))
     # shape-only init (ViT-S is big for a unit test); head present
     assert "classifier" in variables["params"]
+
+
+def test_builder_honors_legacy_task_alias(tiny_config):
+    """model.task (legacy key) must reach get_model's loss selection: a reg
+    config using the alias previously got loss_name forced to 'ce' (and so
+    silently trained MSE) while the head correctly resolved to regression."""
+    from vit_tpu.models.builder import get_model
+
+    cfg = dict(tiny_config)
+    cfg["model"] = dict(tiny_config["model"])
+    cfg["model"].pop("task_type")
+    cfg["model"]["task"] = "reg"
+    cfg["loss"] = {"name": "l1"}
+    bundle = get_model(cfg)
+    assert bundle.vit_config.task_type == "reg"
+    assert bundle.loss_name == "l1"
+
+
+def test_attention_out_dropout_uses_hidden_rate():
+    """HF ViTSelfOutput drops the projected attention output at
+    hidden_dropout_prob, not the probs rate: probs-rate 0 + hidden-rate>0
+    must still apply output dropout."""
+    import jax
+    import jax.numpy as jnp
+
+    from vit_tpu.models.attention import MultiHeadSelfAttention
+
+    m = MultiHeadSelfAttention(hidden_size=32, num_heads=2,
+                               dropout_rate=0.0, out_dropout_rate=0.5)
+    x = jnp.ones((2, 9, 32))
+    params = m.init(jax.random.PRNGKey(0), x)
+    det = m.apply(params, x, deterministic=True)
+    stoch = m.apply(params, x, deterministic=False,
+                    rngs={"dropout": jax.random.PRNGKey(1)})
+    assert not np.allclose(np.asarray(det), np.asarray(stoch))
+    # and rate 0 on both -> identical
+    m0 = MultiHeadSelfAttention(hidden_size=32, num_heads=2,
+                                dropout_rate=0.0, out_dropout_rate=0.0)
+    p0 = m0.init(jax.random.PRNGKey(0), x)
+    a = m0.apply(p0, x, deterministic=False, rngs={"dropout": jax.random.PRNGKey(1)})
+    b = m0.apply(p0, x, deterministic=True)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+
+
+def test_image_cls_token_standard_init(tiny_config):
+    """Image family uses the standard-ViT 0.02 init for cls_token (the
+    spectra family's std-1.0 is a deliberate reference quirk that must not
+    leak into the 'standard ViT' presets)."""
+    import jax
+    import jax.numpy as jnp
+
+    from vit_tpu.models.builder import get_model
+
+    cfg = {
+        "project": "t",
+        "model": {"name": "vit", "task_type": "cls", "input_kind": "image",
+                  "image_size": 32, "patch_size": 8, "hidden_size": 64,
+                  "num_hidden_layers": 1, "num_attention_heads": 2,
+                  "num_labels": 10, "num_channels": 3,
+                  "pos_encoding_type": "learned"},
+        "train": {}, "loss": {"name": "ce"}, "data": {},
+    }
+    bundle = get_model(cfg)
+    params = bundle.module.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)))
+    cls = np.asarray(params["params"]["embeddings"]["cls_token"])
+    assert np.abs(cls).max() < 0.2  # ~N(0, 0.02), not N(0, 1)
+
+
+def test_image_pca_r_exceeding_components_raises(tmp_path, tiny_config):
+    """warmup.r beyond the patch-PCA artifact's component count must raise
+    (silent clamping corrupted the rank encoded in the model name)."""
+    import numpy as np_
+
+    from vit_tpu.models.builder import get_model
+
+    art = tmp_path / "pca.npz"
+    patch_dim = 8 * 8 * 3
+    np_.savez(art, V=np_.eye(patch_dim, 16, dtype=np_.float32),
+              mean=np_.zeros(patch_dim, np_.float32),
+              patch_size=np_.asarray(8), step=np_.asarray(8),
+              U=np_.zeros((0,)), S=np_.zeros((16,)),
+              explained_variance_ratio=np_.zeros((16,)),
+              num_patches=np_.asarray(16))
+    cfg = {
+        "project": "t",
+        "model": {"name": "vit", "task_type": "cls", "input_kind": "image",
+                  "image_size": 32, "patch_size": 8, "hidden_size": 32,
+                  "num_hidden_layers": 1, "num_attention_heads": 2,
+                  "num_labels": 10, "num_channels": 3,
+                  "pos_encoding_type": "learned"},
+        "warmup": {"preprocessor": "pca", "pca_path": str(art), "r": 64},
+        "train": {}, "loss": {"name": "ce"}, "data": {},
+    }
+    with pytest.raises(ValueError, match="exceeds"):
+        get_model(cfg)

@@ -31,7 +31,19 @@ __all__ = [
     "deep_get",
     "deep_update",
     "save_config",
+    "normalize_task",
 ]
+
+
+def normalize_task(config: Mapping, task_type: Any = None) -> str:
+    """('cls'|'reg') from ``model.task_type`` or the legacy ``model.task``
+    key, default 'cls' (`/root/reference/src/vit.py:21-27` /
+    `builder.py:204`). The ONE implementation shared by the model builder
+    and the dataset selector — a mismatch pairs a cls head with reg labels.
+    """
+    m = (config.get("model", {}) or {}) if isinstance(config, Mapping) else {}
+    task = str(task_type or m.get("task_type") or m.get("task") or "cls").lower()
+    return "cls" if task in ("cls", "class", "classification") else "reg"
 
 
 def _expand(value: Any) -> Any:

@@ -338,12 +338,11 @@ class RegSpecDataset(BaseSpecDataset):
 
 
 def _normalize_task(config: dict, task_type: Optional[str] = None) -> str:
-    """('cls'|'reg') with the reference's default and legacy key
-    (`/root/reference/src/vit.py:21-27`: ``model.task_type`` or ``model.task``,
-    default 'cls' — the same default the model builder uses)."""
-    m = config.get("model", {}) or {}
-    task = str(task_type or m.get("task_type") or m.get("task") or "cls").lower()
-    return "cls" if task in ("cls", "class", "classification") else "reg"
+    """Shared task normalization (vit_tpu.config.normalize_task) — dataset
+    selection MUST agree with the model builder's head/loss choice."""
+    from vit_tpu.config import normalize_task
+
+    return normalize_task(config, task_type)
 
 
 def dataset_from_config(config: dict, task_type: Optional[str] = None) -> BaseSpecDataset:

@@ -28,6 +28,8 @@ Softmax always accumulates in fp32 regardless of compute dtype.
 
 from __future__ import annotations
 
+from typing import Optional
+
 import jax
 import jax.numpy as jnp
 from flax import linen as nn
@@ -67,7 +69,9 @@ class MultiHeadSelfAttention(nn.Module):
 
     hidden_size: int
     num_heads: int
-    dropout_rate: float = 0.1
+    dropout_rate: float = 0.1  # attention-probs dropout (attn branch)
+    out_dropout_rate: Optional[float] = None  # post-projection; HF ViTSelfOutput
+    # uses hidden_dropout_prob here, NOT the probs rate; None = dropout_rate
     use_rope: bool = False
     rope_base: float = 10000.0
     impl: str = "auto"
@@ -152,14 +156,20 @@ class MultiHeadSelfAttention(nn.Module):
         out = nn.Dense(
             self.hidden_size, dtype=self.dtype, kernel_init=KERNEL_INIT, name="out"
         )(context)
-        out = self._dropout("out_dropout")(
+        out_rate = (
+            self.out_dropout_rate
+            if self.out_dropout_rate is not None
+            else self.dropout_rate
+        )
+        out = self._dropout("out_dropout", rate=out_rate)(
             out, deterministic=deterministic
         )
         return out
 
-    def _dropout(self, name: str) -> nn.Module:
+    def _dropout(self, name: str, rate: Optional[float] = None) -> nn.Module:
+        rate = self.dropout_rate if rate is None else rate
         if self.fast_dropout:
             from vit_tpu.ops.dropout import HashDropout
 
-            return HashDropout(rate=self.dropout_rate, name=name)
-        return nn.Dropout(rate=self.dropout_rate, name=name)
+            return HashDropout(rate=rate, name=name)
+        return nn.Dropout(rate=rate, name=name)

@@ -26,6 +26,7 @@ from typing import Dict, Optional
 import jax.numpy as jnp
 from flax import linen as nn
 
+from vit_tpu.config import normalize_task
 from vit_tpu.models.preprocessor import (
     LinearPreprocessor,
     PrefilledAttention,
@@ -195,13 +196,13 @@ def get_vit_config(config: dict) -> VitConfig:
         m.setdefault("input_kind", "image")
     d = config.get("data", {}) or {}
     t = config.get("train", {}) or {}
-    task = str(m.get("task_type") or m.get("task") or "cls").lower()
+    task = normalize_task(config)
     num_labels = _derive_num_labels(m, d, task)
     config["model"]["num_labels"] = m.get("num_labels", num_labels)
 
     hidden = int(m["hidden_size"])
     return VitConfig(
-        task_type="cls" if task in ("cls", "class", "classification") else "reg",
+        task_type=task,
         image_size=int(m["image_size"]),
         patch_size=int(m["patch_size"]),
         num_channels=int(m.get("num_channels", 3 if m.get("input_kind") == "image" else 1)),
@@ -282,7 +283,17 @@ def _build_preprocessor(
             eps=eps,
             name="preprocessor",
         )
-        out_dim = r if r is not None else input_dim
+        # PrefilledAttention's 2-D output dim is the number of eigvec
+        # COLUMNS when no explicit r is given (stats may store truncated
+        # top-k eigvecs); reporting input_dim for a (D, k) basis skipped
+        # the image_size auto-adjust and crashed deep in the tokenizer.
+        n_comp = int(eigvecs.shape[1])
+        if r is not None and int(r) > n_comp:
+            raise ValueError(
+                f"warmup.r={r} exceeds the {n_comp} eigenvector columns in "
+                f"the covariance stats"
+            )
+        out_dim = int(r) if r is not None else n_comp
         rank_str = r if r else "Full"
         scale_suffix = "_scaled" if (scale_by_eigvals and stats.get("eigvals") is not None) else ""
         return (
@@ -329,6 +340,13 @@ def _get_image_pca_model(
         )
     r = warmup_cfg.get("r")
     r = int(r) if r is not None else int(basis.shape[1])
+    if r > basis.shape[1]:
+        # basis[:, :r] would silently clamp while the model NAME claims r —
+        # corrupting sweep/checkpoint bookkeeping keyed on the name.
+        raise ValueError(
+            f"warmup.r={r} exceeds the {basis.shape[1]} components in the "
+            f"patch-PCA artifact"
+        )
     freeze_epochs = int(warmup_cfg.get("freeze_epochs", 0) or 0)
     fz = _get_freeze_suffix(freeze_epochs)
 
@@ -365,8 +383,8 @@ def get_model(config: dict) -> ModelBundle:
 
     warmup_cfg = config.get("warmup", {}) or {}
     loss_name = (config.get("loss", {}) or {}).get("name") or ""
-    task = str((config.get("model", {}) or {}).get("task_type", "cls")).lower()
-    if task in ("cls", "class", "classification"):
+    task = normalize_task(config)
+    if task == "cls":
         loss_name = "ce"
     elif not loss_name:
         loss_name = "l2"

@@ -78,7 +78,9 @@ def make_dropout(cfg: Any, rate: float, name: str) -> nn.Module:
     """Dropout module per the config: counter-based hash masks (fast, the
     default) or ``nn.Dropout`` (``model.fast_dropout: false``). Both are
     parameter-free and draw from the ``dropout`` RNG collection."""
-    if getattr(cfg, "fast_dropout", False):
+    # fallback True = VitConfig's default (and ViTLayer's attention
+    # fallback) so a duck-typed cfg can't silently mix implementations
+    if getattr(cfg, "fast_dropout", True):
         from vit_tpu.ops.dropout import HashDropout
 
         return HashDropout(rate=rate, name=name)
@@ -162,8 +164,12 @@ class ImageEmbeddings(nn.Module):
                 name="patch_embeddings",
             )(x)
         batch = tokens.shape[0]
+        # Standard-ViT init (HF _init_weights: initializer_range 0.02) —
+        # the spectra family's std-1.0 cls is a reference quirk that does
+        # NOT apply here (a N(0,1) token next to 0.02-scale embeddings
+        # starts ~50x out of scale).
         cls = self.param(
-            "cls_token", nn.initializers.normal(stddev=1.0), (1, 1, cfg.hidden_size)
+            "cls_token", nn.initializers.normal(stddev=0.02), (1, 1, cfg.hidden_size)
         )
         tokens = jnp.concatenate(
             [jnp.broadcast_to(cls, (batch, 1, cfg.hidden_size)).astype(tokens.dtype), tokens],
@@ -200,6 +206,8 @@ class ViTLayer(nn.Module):
             hidden_size=cfg.hidden_size,
             num_heads=cfg.num_attention_heads,
             dropout_rate=cfg.attention_dropout,
+            # HF ViTSelfOutput drops the projected output at the HIDDEN rate
+            out_dropout_rate=cfg.hidden_dropout,
             use_rope=cfg.pos_encoding_type == "rope",
             rope_base=cfg.rope_base,
             impl=cfg.attn_impl,
