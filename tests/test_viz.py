@@ -92,7 +92,9 @@ def test_viz_diagnostics_builds_frames_and_gifs(tmp_path):
 def test_cka_monitor_flags_frozen_layers():
     cka = CKAMonitor(threshold=0.95)
     diag0 = _fake_diag(seed=0)
-    assert cka.on_validation_epoch(0, diag0) == {}  # initial capture
+    # initial capture logs CKA(init, init) = 1.0 (reference parity)
+    first = cka.on_validation_epoch(0, diag0)
+    assert first["cka/mean"] == 1.0
     # identical reps -> CKA 1.0 -> flagged unchanged
     out = cka.on_validation_epoch(1, diag0)
     assert out["cka/mean"] == pytest.approx(1.0, rel=1e-6)
@@ -211,5 +213,34 @@ def test_step_frequency_viz(tiny_config, tmp_path, monkeypatch):
     exp = Experiment(cfg, seed=0)
     exp.fit()
     # steps 3 and 6 trigger captures
+    gif_dir = tmp_path / "viz" / exp.bundle.model_name
+    assert (gif_dir / "distribution.gif").exists()
+
+
+def test_viz_classification_task(tiny_config, tmp_path, monkeypatch, capsys):
+    """viz must work on cls runs: logits (n, C) vs integer labels previously
+    raised IndexError inside the distribution figure, and the train loop's
+    try/except silently killed ALL diagnostics (including CKA) every epoch."""
+    from vit_tpu.train.loop import Experiment
+
+    monkeypatch.setenv("CKPT_DIR", str(tmp_path / "ckpt"))
+    cfg = dict(tiny_config)
+    cfg["model"] = dict(tiny_config["model"], task_type="cls", num_labels=2)
+    cfg["train"] = dict(tiny_config["train"], ep=1, batch_size=16)
+    cfg["opt"] = {"type": "AdamW", "lr": 1e-3, "lr_sch": "none"}
+    cfg["viz"] = {
+        "enable": True,
+        "save_local": True,
+        "save_dir": str(tmp_path / "viz"),
+        "num_viz_samples": 16,
+        "embedding_method": "pca",
+        "compute_cka": True,
+        "gif_duration": 100,
+    }
+    exp = Experiment(cfg, seed=0)
+    metrics = exp.fit()
+    out = capsys.readouterr().out
+    assert "diagnostics skipped" not in out
+    assert "cka/mean" in metrics  # first logged epoch -> CKA(init,init)=1.0
     gif_dir = tmp_path / "viz" / exp.bundle.model_name
     assert (gif_dir / "distribution.gif").exists()

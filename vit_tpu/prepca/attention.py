@@ -37,11 +37,17 @@ def _kpca_transform_jnp(state: KernelPCAState, x: jnp.ndarray) -> jnp.ndarray:
     elif state.kernel_name == "poly":
         gamma = state.gamma if state.gamma is not None else 1.0 / xf.shape[1]
         k = (gamma * (xf @ landmarks.T) + state.coef0) ** state.degree
-    else:  # rbf; gamma resolved at fit time
+    else:  # rbf
+        # Reference .pt states can carry gamma=None; resolve the median
+        # heuristic from the landmarks ONCE (host-side, deterministic)
+        # instead of silently using gamma=1.0 — which computed features
+        # unrelated to the fitted KPCA. `or` would also clobber an
+        # explicit 0.0.
+        gamma = state.resolve_gamma()
         x2 = (xf * xf).sum(axis=1, keepdims=True)
         l2 = (landmarks * landmarks).sum(axis=1)[None, :]
         d2 = jnp.clip(x2 + l2 - 2.0 * (xf @ landmarks.T), 0.0, None)
-        k = jnp.exp(-(state.gamma or 1.0) * d2)
+        k = jnp.exp(-(1.0 if gamma is None else gamma) * d2)
     mean_b = k.mean(axis=1, keepdims=True)
     kc = k - mean_b - jnp.asarray(state.row_means)[None, :] + state.K_mean
     z = kc @ jnp.asarray(state.A)

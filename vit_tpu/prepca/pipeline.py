@@ -70,15 +70,29 @@ def compute_pca(
     patches = _unfold_patches(spectra, patch_size, step)
 
     mean = patches.mean(axis=0)
-    centered = (patches - mean).astype(np.float64)
-    # Full SVD of the centered patch matrix (q = patch_size = full rank).
-    U, S, Vt = np.linalg.svd(centered, full_matrices=False)
-    V = Vt.T.astype(np.float32)
-    S = S.astype(np.float32)
-    U = U.astype(np.float32)
-    evr = S**2
+    # Covariance-eigh formulation: the right singular vectors of the
+    # (M, P) centered patch matrix are the eigenvectors of its (P, P)
+    # Gram — a full float64 SVD materialized a second copy of the whole
+    # patch matrix (~100 GB at 100k x 4096 spectra, stride 1) for the
+    # same answer. The Gram is accumulated in f64 over row chunks, so
+    # peak extra memory is one chunk.
+    p = patches.shape[1]
+    gram = np.zeros((p, p), np.float64)
+    chunk = 1 << 16
+    for i in range(0, patches.shape[0], chunk):
+        c = (patches[i : i + chunk] - mean).astype(np.float64)
+        gram += c.T @ c
+    eigvals, eigvecs = np.linalg.eigh(gram)
+    order = np.argsort(eigvals)[::-1]
+    eigvals = np.clip(eigvals[order], 0.0, None)
+    V = eigvecs[:, order].astype(np.float32)
+    S = np.sqrt(eigvals).astype(np.float32)
+    # Left singular vectors (torch.pca_lowrank's U): centered @ V / S.
+    centered32 = patches - mean
+    U = (centered32 @ V) / np.where(S > 0, S, 1.0)
+    evr = eigvals
     total = float(evr.sum())
-    evr = evr / total if total > 0 else evr
+    evr = (evr / total if total > 0 else evr).astype(np.float32)
     return {
         "components": V,  # (patch, patch) right singular vectors
         "scores": U,
@@ -210,7 +224,28 @@ class KernelPCAState:
     coef0: float = 1.0
     r: int = 32
 
+    def resolve_gamma(self) -> Optional[float]:
+        """Pin the rbf gamma for a state that carries ``gamma=None``.
+
+        Reference artifacts leave gamma unresolved and re-derive the median
+        heuristic per transform CALL — which makes chunked transforms
+        map the same row to different features depending on its chunk. We
+        derive it ONCE, deterministically, from the landmarks (themselves a
+        subset of the fit data) and store it.
+        """
+        if self.gamma is None and self.kernel_name == "rbf":
+            d2 = _pairwise_sq_dists(self.landmarks, self.landmarks)
+            pos = d2[d2 > 0]
+            med = float(np.median(pos)) if pos.size else 1.0
+            self.gamma = float(1.0 / (med + 1e-8))
+            print(
+                f"[kpca] gamma=None in state; resolved median-heuristic "
+                f"gamma={self.gamma:.4e} from the landmarks"
+            )
+        return self.gamma
+
     def transform(self, X: np.ndarray, chunk: int = 0) -> np.ndarray:
+        self.resolve_gamma()
         X = _as_np(X)
         shape = X.shape
         Xf = X.reshape(-1, shape[-1]).astype(np.float32)

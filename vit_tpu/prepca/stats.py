@@ -99,13 +99,13 @@ def compute_covariance_stats(
     )
     if save_path is not None:
         payload = stats.as_dict()
-        if src_path is not None and str(save_path).endswith((".pt", ".pth")):
-            pass  # torch payloads keep arrays only; src_path goes to the PNG title
         save_cov_stats(payload, str(save_path))
         print(f"Saved covariance statistics to {save_path}")
         base, _ = os.path.splitext(str(save_path))
         try:
-            plot_covariance_heatmap(stats.cov, f"{base}_heatmap.png", wave=wave)
+            plot_covariance_heatmap(
+                stats.cov, f"{base}_heatmap.png", wave=wave, src_path=src_path
+            )
             plot_eigenvalue_spectrum(
                 stats.eigvals, f"{base}_eigenvalues.png", num_samples=stats.num_samples
             )
@@ -201,7 +201,12 @@ def zca_self_check(
 # ---------------------------------------------------------------------------
 # Diagnostic plots (matplotlib, host-side)
 # ---------------------------------------------------------------------------
-def plot_covariance_heatmap(cov: np.ndarray, path: str, wave: Optional[np.ndarray] = None) -> None:
+def plot_covariance_heatmap(
+    cov: np.ndarray,
+    path: str,
+    wave: Optional[np.ndarray] = None,
+    src_path: Optional[str] = None,
+) -> None:
     import matplotlib
 
     matplotlib.use("Agg")
@@ -212,7 +217,11 @@ def plot_covariance_heatmap(cov: np.ndarray, path: str, wave: Optional[np.ndarra
     if wave is not None and len(wave) == cov.shape[0]:
         extent = [wave[0], wave[-1], wave[-1], wave[0]]
     im = ax.imshow(cov, aspect="auto", cmap="RdBu_r", extent=extent)
-    ax.set_title(f"Covariance matrix ({cov.shape[0]}x{cov.shape[1]})")
+    title = f"Covariance matrix ({cov.shape[0]}x{cov.shape[1]})"
+    if src_path:
+        # data provenance in the diagnostic (reference behavior)
+        title += f"\n{os.path.basename(str(src_path))}"
+    ax.set_title(title)
     ax.set_xlabel("wavelength" if extent else "pixel")
     ax.set_ylabel("wavelength" if extent else "pixel")
     fig.colorbar(im, ax=ax)

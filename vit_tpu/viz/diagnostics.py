@@ -186,6 +186,15 @@ class VizDiagnostics:
         labels: np.ndarray,
         diag: Dict[str, object],
     ) -> None:
+        preds2 = np.reshape(preds, (len(preds), -1))
+        labels2 = np.reshape(np.asarray(labels), (len(labels), -1))
+        if preds2.shape[1] != labels2.shape[1]:
+            # Classification: logits (n, C) vs integer labels (n,) — reduce
+            # to predicted class ids so the per-output figures are
+            # class-vs-class (previously labels[:, 1] raised IndexError and
+            # the except in the train loop silently killed ALL diagnostics
+            # including CKA on every cls run).
+            preds = preds2.argmax(axis=1).astype(np.float64).reshape(-1, 1)
         names = self.param_names or [str(j) for j in range(np.reshape(preds, (len(preds), -1)).shape[1])]
         if self._want("distribution"):
             self.frames["distribution"].append(
@@ -291,7 +300,12 @@ class CKAMonitor:
             return {}
         if self.initial is None:
             self.initial = reps
-            return {}
+            # Reference cka_callback logs CKA(init, init) = 1.0 for the
+            # first logged epoch (`cka_callback.py:119-124`).
+            out = {f"cka/{k}": 1.0 for k in reps}
+            out["cka/mean"] = 1.0
+            out["cka/unchanged_count"] = float(len(reps))
+            return out
         out: Dict[str, float] = {}
         unchanged = 0
         for name, cur in reps.items():

@@ -213,12 +213,21 @@ def attention_analytics_frame(
     axes[1][0].set_title("CLS attention profile")
     axes[1][0].legend(fontsize=7)
 
-    # attention-vs-distance profile (mean over layers/heads)
+    # attention-vs-distance profile (mean over layers/heads). Mean over
+    # |i-j| == d is the mean of the two offset-d diagonals — O(T) per
+    # sampled distance (a full (T, T) boolean mask per distance was
+    # O(64*T^2) ≈ 1e9 ops at stride-1), plotted against the REAL sampled
+    # distances (plotting by list index compressed the axis by T/64).
     p0 = np.mean([p.mean(0) for p in attn_probs], axis=0)  # (T, T)
     t = p0.shape[0]
-    dists = np.abs(np.arange(t)[:, None] - np.arange(t)[None, :])
-    prof = [p0[dists == d].mean() for d in range(0, t, max(1, t // 64))]
-    axes[1][1].plot(prof)
+    sampled = list(range(0, t, max(1, t // 64)))
+    prof = [
+        np.concatenate([np.diagonal(p0, d), np.diagonal(p0, -d)]).mean()
+        if d else np.diagonal(p0).mean()
+        for d in sampled
+    ]
+    axes[1][1].plot(sampled, prof)
+    axes[1][1].set_xlabel("token distance")
     axes[1][1].set_title("attention vs token distance")
 
     fig.suptitle(f"attention analytics — epoch {epoch}")
@@ -228,21 +237,30 @@ def attention_analytics_frame(
 
 
 def _embed_2d(x: np.ndarray, method: str = "umap") -> np.ndarray:
-    """2-D embedding with graceful fallback: umap -> tsne -> pca."""
+    """2-D embedding with graceful fallback: umap -> tsne -> pca.
+
+    The fallback chain catches ANY failure, not just missing imports —
+    e.g. t-SNE's ValueError when the capture cap leaves < 4 samples
+    (long-sequence configs) must degrade to PCA, not abort the epoch's
+    diagnostics (which would also drop that epoch's CKA metrics).
+    """
+    if x.shape[0] < 4:
+        method = "pca"  # too few samples for neighbor-based embeddings
     if method == "umap":
         try:
             import umap
 
             return umap.UMAP(n_components=2).fit_transform(x)
-        except ImportError:
+        except Exception:
             method = "tsne"
     if method == "tsne":
         try:
             from sklearn.manifold import TSNE
 
             perplexity = min(30, max(2, x.shape[0] // 4))
+            perplexity = min(perplexity, x.shape[0] - 1)
             return TSNE(n_components=2, perplexity=perplexity, init="pca").fit_transform(x)
-        except ImportError:
+        except Exception:
             method = "pca"
     # PCA fallback (always available)
     xc = x - x.mean(0)
