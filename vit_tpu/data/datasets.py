@@ -27,7 +27,7 @@ from typing import Any, Dict, List, Optional, Sequence, Union
 
 import numpy as np
 
-from vit_tpu.data.hdf5 import load_spectra, read_params_table
+from vit_tpu.data.hdf5 import ERROR_KEY, load_spectra, read_params_table
 
 __all__ = [
     "BaseSpecDataset",
@@ -202,7 +202,14 @@ class BaseSpecDataset:
         self.flux = np.clip(spec["flux"], 0.0, None)
         error = spec.get("error")
         if error is None:
-            error = np.zeros_like(self.flux)
+            # Reference parity: a missing error dataset is a malformed file
+            # and raises (`dataloader/base.py:232` KeyError). Zero-filling
+            # silently disabled noise augmentation (x + randn*0*level) and
+            # produced ~1e12 SNRs while claiming noisy evaluation.
+            raise KeyError(
+                f"{path} has no '{ERROR_KEY}' dataset (required by the "
+                "reference HDF5 schema)"
+            )
         if np.isnan(error).any():
             error = _fill_nan_with_nearest(error)
         self.error = error
@@ -395,8 +402,18 @@ class SpecDataModule:
                 self._propagate_stats(self.val)
                 self.val.load_data("val")
         elif stage == "test":
-            if self.train is None and self.task_type != "cls":
-                # Need train stats for label normalization parity.
+            norm = str(
+                (self.config.get("data", {}) or {}).get("label_norm") or "none"
+            ).lower()
+            if (
+                self.train is None
+                and self.task_type != "cls"
+                and norm in ("standard", "zscore", "minmax")
+            ):
+                # Train-fitted label-norm stats must be propagated to the
+                # test split (reference `vit.py:44-51`). With label_norm
+                # 'none' this would load the full training split (GBs of
+                # flux) just to copy four Nones — skip it.
                 self.train = self._new_dataset()
                 self.train.load_data("fit")
             if self.test is None:

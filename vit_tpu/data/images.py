@@ -98,11 +98,17 @@ class ImageDataset:
         else:
             path = self.test_path if stage == "test" else self.val_path
             n = self.num_test_samples
-        if path and os.path.exists(path):
+        if path and not os.path.exists(path):
+            # A CONFIGURED path that is missing is an error (spectra parity:
+            # BaseSpecDataset raises too) — silently training on synthetic
+            # noise because of a typo'd path produces plausible-looking
+            # garbage metrics.
+            raise FileNotFoundError(f"Image data file not found: {path}")
+        if path:
             with np.load(path) as z:
                 images, labels = z["images"], z["labels"]
         else:
-            # data-free fallback: deterministic synthetic set per stage
+            # no path configured: deterministic synthetic set per stage
             seed = {"fit": 0, "train": 0, None: 0, "val": 1, "validate": 1, "test": 2}.get(stage, 0)
             count = n if n and n > 0 else 256
             d = make_dummy_images(count, self.image_size, self.num_classes, seed=seed)

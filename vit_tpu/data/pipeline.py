@@ -34,6 +34,8 @@ def epoch_permutation(
     paths all gather with this — one implementation keeps them bit-equal
     to the per-step Batcher.
     """
+    if n <= 0:
+        raise ValueError("epoch_permutation: empty dataset (n == 0)")
     order = np.random.default_rng(seed + epoch).permutation(n)
     total = steps_per_epoch * batch_size
     if total > len(order):

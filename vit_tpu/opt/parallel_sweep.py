@@ -342,7 +342,10 @@ class _VmapSweepEngine:
         }
         train_data_dev = jax.device_put(train_cols, repl)
         n_train = len(dm.train)
-        val_arrays = dm.val.arrays()
+        # x/label only — flux/error never cross to device for eval
+        val_arrays = {
+            k: v for k, v in dm.val.arrays().items() if k in ("x", "label")
+        }
         vbs = min(batch_size, len(dm.val))
 
         # Per-replica host controllers (reference: each trial is an

@@ -608,7 +608,11 @@ class Experiment:
             )
         n_shards = self.mesh.shape.get("data", 1)
         bs = max(n_shards, (batch_size // n_shards) * n_shards)
-        batcher = Batcher(dataset.arrays(), bs, eval_mode=True)
+        # Only x/label cross to device: eval reads batch['x'] in-graph and
+        # label/mask host-side — shipping the flux/error duplicates tripled
+        # the host->device volume per eval epoch.
+        cols = {k: v for k, v in dataset.arrays().items() if k in ("x", "label")}
+        batcher = Batcher(cols, bs, eval_mode=True)
         logits_all, labels_all = [], []
         params = self.state.params
         for i, batch in enumerate(
