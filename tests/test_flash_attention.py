@@ -1,9 +1,10 @@
 """Flash attention op tests.
 
-The suite runs on the CPU mesh, exercising the XLA fallback path and the
-custom_vjp wiring; the Pallas kernels themselves are validated on the real
-TPU (see the measured numbers in the module docstring) — those cases are
-marked skipif non-TPU so they run when a chip is attached.
+Every test here runs on the CPU mesh, exercising the XLA fallback path
+(identical math to the kernels, incl. the reproducible hash-dropout mask)
+and the custom_vjp wiring; the Pallas kernels themselves are validated on
+the real TPU by the driven benchmarks (BASELINE.md) — CI cannot execute
+them off-TPU.
 """
 
 import jax
@@ -57,10 +58,24 @@ def test_select_attn_impl_policy():
     assert select_attn_impl("auto", 4096, 64) == "flash"
 
 
-def test_select_attn_impl_ignores_dropout():
-    """Probs dropout is applied in-kernel — the kernel choice is purely
-    shape-driven (round-1 behavior forced xla under dropout, reintroducing
-    the O(T^2) memory wall for long-sequence dropout training)."""
+def test_flash_path_applies_dropout():
+    """The flash branch must APPLY probs dropout (in-kernel hash mask), not
+    silently skip it nor force a fallback to xla (round-1 behavior dropped
+    dropout on the flash path entirely). Exercised through the attention
+    module so the real impl-resolution seam is covered."""
+    from vit_tpu.models.attention import MultiHeadSelfAttention
+
+    m = MultiHeadSelfAttention(hidden_size=32, num_heads=2,
+                               dropout_rate=0.5, out_dropout_rate=0.0,
+                               impl="flash")
+    x = jnp.asarray(np.random.default_rng(0).standard_normal((2, 64, 32)), jnp.float32)
+    params = m.init(jax.random.PRNGKey(0), x)
+    det = np.asarray(m.apply(params, x, deterministic=True))
+    stoch = np.asarray(
+        m.apply(params, x, deterministic=False, rngs={"dropout": jax.random.PRNGKey(1)})
+    )
+    assert not np.allclose(det, stoch)  # dropout active on the flash path
+    # and the kernel policy itself stays shape-driven
     assert select_attn_impl("flash", 4096, 64) == "flash"
     assert select_attn_impl("auto", 4096, 64) == "flash"
 

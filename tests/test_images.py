@@ -166,11 +166,17 @@ def test_image_pca_vit_end_to_end(tmp_path, monkeypatch):
     # frozen for epochs < 2, trainable after
     assert exp._frozen_flag(0) == 1.0 and exp._frozen_flag(1) == 1.0
     assert exp._frozen_flag(2) == 0.0
-    # preprocessor kernel started at the PCA basis and then moved (unfrozen)
+    # preprocessor kernel started at the PCA basis and then MOVED once the
+    # freeze released at epoch 2 (a permanently-frozen kernel would still
+    # equal the basis columns)
     kernel = np.asarray(
         jax.device_get(exp.state.params["preprocessor"]["kernel"])
     )
     assert kernel.shape == (8 * 8 * 3, 24)
+    from vit_tpu.utils import load_patch_pca_stats
+
+    basis = load_patch_pca_stats(pca_path)["components"][:, :24]
+    assert not np.allclose(kernel, basis, atol=1e-7)
 
 
 def test_image_pca_basis_dim_mismatch(tmp_path):

@@ -108,13 +108,13 @@ def test_specvit_capture_intermediates():
         num_attention_heads=2, intermediate_size=64, stride_size=32, num_labels=1,
     )
     model = SpecViT(cfg=cfg)
-    x = jnp.ones((2, 128))
+    x = jnp.ones((5, 128))  # B != H so the shape pins the BATCH-mean axis
     variables = model.init(jax.random.PRNGKey(0), x)
     _, state = model.apply(variables, x, capture=True, mutable=["intermediates"])
     inter = state["intermediates"]
     probs = inter["encoder"]["layer_0"]["attention"]["attention_probs"][0]
     # sown batch-mean on device (H, T, T): memory discipline at long T
-    assert probs.shape == (2, cfg.seq_len, cfg.seq_len)
+    assert probs.shape == (cfg.num_attention_heads, cfg.seq_len, cfg.seq_len)
     np.testing.assert_allclose(np.asarray(probs.sum(-1)), 1.0, rtol=1e-5)
     assert "cls_embedding" in inter
 

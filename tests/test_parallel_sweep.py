@@ -119,12 +119,20 @@ def test_sweep_without_val_path_uses_fallback(sweep_base_config, tmp_path):
 
 
 def test_diverged_replica_isolated(sweep_base_config, tmp_path):
-    """A replica with an absurd LR (1e2) diverges to NaN mid-sweep; the grid
-    must still finish, write a full summary.yaml, and mark only that replica
-    status='error' (reference parallel_sweep.py:193-209 isolation)."""
+    """A replica with an absurd LR diverges to NaN mid-sweep; the grid must
+    still finish, write a full summary.yaml, and mark only that replica
+    status='error' (reference parallel_sweep.py:193-209 isolation).
+    grad_clip is disabled so the divergence is guaranteed (with the default
+    0.5 clip even lr=1e2 stays finite and the path went untested)."""
+    with open(sweep_base_config) as f:
+        cfg = yaml.safe_load(f)
+    cfg["train"]["grad_clip"] = 0.0
+    noclip = str(tmp_path / "noclip.yaml")
+    with open(noclip, "w") as f:
+        yaml.safe_dump(cfg, f)
     runner = ParallelSweepRunner(
-        sweep_base_config,
-        lr_values=[1e-3, 1e2],
+        noclip,
+        lr_values=[1e-3, 1e6],
         schedulers=["none"],
         results_dir=str(tmp_path / "runs"),
         seed=0,
@@ -137,9 +145,11 @@ def test_diverged_replica_isolated(sweep_base_config, tmp_path):
     assert len(summary["results"]) == 2
     by_lr = {r["config"]["lr"]: r for r in summary["results"]}
     assert by_lr[1e-3]["status"] == "ok"
-    bad = by_lr[1e2]
-    if bad["status"] == "error":  # divergence timing can vary
-        assert "non-finite" in (bad["message"] or "")
+    bad = by_lr[1e6]
+    # deterministic seed + no clip: lr=1e6 MUST diverge — unconditional,
+    # otherwise the isolation machinery silently goes untested
+    assert bad["status"] == "error"
+    assert "non-finite" in (bad["message"] or "")
     # per-replica durations are individually stamped, not one shared wall
     assert all(r["duration_sec"] > 0 for r in summary["results"])
 

@@ -90,9 +90,6 @@ def test_freeze_schedule_holds_then_releases(tiny_config, cov_path, monkeypatch,
     cfg["train"]["ep"] = 1
     exp = Experiment(cfg, seed=0)
     exp.datamodule.setup("fit")
-
-    initial = None
-
     exp.fit()
     frozen_kernel = np.asarray(exp.state.params["preprocessor"]["kernel"])
     # epoch 0 was frozen: kernel still equals the prefilled PCA matrix
@@ -137,7 +134,6 @@ def test_permanent_freeze(tiny_config, cov_path, monkeypatch, tmp_path):
                        freeze_epochs=-1, shrinkage=0.1)
     cfg["train"]["ep"] = 2
     exp = Experiment(cfg, seed=0)
-    before = None
     exp.fit()
     from vit_tpu.models.preprocessor import compute_zca_matrix
     from vit_tpu.utils import load_cov_stats

@@ -114,7 +114,8 @@ def test_predict_cli(trained, tmp_path, monkeypatch):
         [sys.executable, "scripts/predict.py", "-f", str(cfg_path),
          "--ckpt", "last", "--input", cfg["data"]["test_path"],
          "--output", str(out_path), "--limit", "16"],
-        capture_output=True, text=True, env=env, cwd="/root/repo", timeout=600,
+        capture_output=True, text=True, env=env, timeout=600,
+        cwd=__import__("os").path.dirname(__import__("os").path.dirname(__import__("os").path.abspath(__file__))),
     )
     assert proc.returncode == 0, proc.stderr[-2000:]
     with np.load(out_path) as z:

@@ -117,7 +117,8 @@ def test_encoder_layer_numerical_parity(flax_params):
     prefix = "vit.encoder.layer.0."
     layer_sd = {k[len(prefix):]: torch.from_numpy(np.ascontiguousarray(v))
                 for k, v in sd.items() if k.startswith(prefix)}
-    missing, unexpected = hf_layer.load_state_dict(layer_sd, strict=True), None
+    result = hf_layer.load_state_dict(layer_sd, strict=True)
+    assert not result.missing_keys and not result.unexpected_keys
 
     x = np.random.default_rng(0).standard_normal((2, 9, 32)).astype(np.float32)
     with torch.no_grad():

@@ -15,7 +15,7 @@ def test_denormalize_roundtrips():
     mn, mx = np.array([1.0, -3.0]), np.array([5.0, 7.0])
     norm = (y - 0) * 1.0  # y in [0,1] as minmax-normalized
     raw = denormalize(norm, "minmax", label_min=mn, label_max=mx)
-    assert raw.min() >= 1.0 - 5 and raw[:, 0].max() <= 5.0 + 1e-9
+    np.testing.assert_allclose(raw, y * (mx - mn) + mn)  # exact inverse
     mean, std = np.array([2.0, 0.0]), np.array([3.0, 1.0])
     z = denormalize(y, "zscore", label_mean=mean, label_std=std)
     np.testing.assert_allclose(z, y * std + mean)
