@@ -5,11 +5,12 @@ Headline = the reference baseline workload (`configs/exp/att_clp/baseline.yaml`,
 BASELINE.md): 4096-pixel spectra, patch/stride 32 -> 129 tokens, hidden 32,
 3 layers, 2 heads, MAE-monitored regression, AdamW, batch 64, 10k train
 spectra — images/sec/chip through the production fast path
-(``train.epochs_per_dispatch=10``: ten lax.scan epochs per dispatch, one
-host round-trip per block). Extras report the single-epoch fused path, the
-per-step path, bf16, p50 eval latency, and the image-ViT family (ViT-S/16
-CIFAR-shape and ViT-B/16 bf16+remat) where the MXU, not dispatch overhead,
-sets the ceiling.
+(``train.epochs_per_dispatch=40``: the whole 40-epoch workload in ONE
+lax.scan dispatch, one host round-trip per run). Extras report the
+single-epoch fused path, the per-step path, bf16, p50 eval latency (plus
+the amortized on-device eval latency — the dispatch p50 is tunnel RPC
+floor here), and the image-ViT family (ViT-S/16 CIFAR-shape and ViT-B/16
+bf16) where the MXU, not dispatch overhead, sets the ceiling.
 
 The reference publishes no numbers (BASELINE.md); ``vs_baseline`` is
 measured against the A100-PyTorch estimate documented there, anchored by a
@@ -30,8 +31,12 @@ A100_TORCH_EST_IPS = 25_000.0  # see BASELINE.md "Benchmark protocol"
 
 N_TRAIN = 10_000
 BATCH = 64
-EPOCHS_PER_DISPATCH = 10
+# Whole-run dispatch: the baseline workload is 40 epochs (train.ep), so the
+# production fast path can amortize the ~29 ms tunnel RPC over the entire
+# run — one host round-trip per 40 epochs (~0.7 ms/epoch).
+EPOCHS_PER_DISPATCH = 40
 EVAL_REPS = 50
+EVAL_SCAN_ITERS = 200  # on-device eval latency: iterations per dispatch
 IMG_STEPS = 16  # image-family steps per timed dispatch
 
 
@@ -78,9 +83,12 @@ def build(precision: str, n_epochs: int = 1):
 
     steps_per_epoch = N_TRAIN // BATCH
     rng = np.random.default_rng(0)
+    # x + label only: the baseline workload runs noise_level=0, so the
+    # 'error' column would be a dead 164 MB that the fused epoch
+    # permutation-gathers every epoch (Experiment.fit filters it the same
+    # way).
     data = {
         "x": np.asarray(rng.standard_normal((N_TRAIN, 4096)), np.float32),
-        "error": np.full((N_TRAIN, 4096), 0.01, np.float32),
         "label": np.asarray(rng.random((N_TRAIN, 1)), np.float32),
     }
     data_dev = jax.device_put(data, repl)
@@ -121,7 +129,7 @@ def build(precision: str, n_epochs: int = 1):
     train_step = make_train_step(bundle, tx, spec, 0.0, repl, bshard)
     eval_step = make_eval_step(bundle, repl, bshard)
     return (state, data_dev, perm, frozen_vec, batch, train_epoch, train_step,
-            eval_step, steps_per_epoch)
+            eval_step, steps_per_epoch, bundle)
 
 
 # NOTE on synchronization: under the axon TPU tunnel,
@@ -175,6 +183,41 @@ def bench_eval(state, batch, eval_step):
         np.asarray(eval_step(state.params, batch))  # hard sync
         times.append(time.perf_counter() - t0)
     return float(np.median(times) * 1e3)
+
+
+def bench_eval_on_device(state, batch, bundle):
+    """On-device eval-step latency, amortized over EVAL_SCAN_ITERS forwards
+    inside ONE dispatch (like the train numbers). The per-dispatch
+    ``bench_eval`` p50 above is ~100% tunnel RPC floor in this deployment
+    (BASELINE.md) — this is the model number, that one is the tunnel
+    number."""
+    import jax
+    import jax.numpy as jnp
+
+    module = bundle.module
+
+    @jax.jit
+    def run(params, x):
+        def body(carry, _):
+            # chain the carry into the input so iterations can't be hoisted
+            logits = module.apply(
+                {"params": params}, x + carry * 1e-30, deterministic=True
+            )
+            return carry + logits.sum() * 1e-30, None
+
+        acc, _ = jax.lax.scan(
+            body, jnp.zeros((), jnp.float32), None, length=EVAL_SCAN_ITERS
+        )
+        return acc
+
+    x = batch["x"]
+    np.asarray(run(state.params, x))  # compile + warm
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        np.asarray(run(state.params, x))
+        times.append(time.perf_counter() - t0)
+    return float(np.median(times)) / EVAL_SCAN_ITERS * 1e3
 
 
 def bench_lr_sweep() -> float:
@@ -315,18 +358,20 @@ def main() -> None:
     with contextlib.redirect_stdout(setup_log):
         # headline: production fast path (10 epochs per dispatch)
         (state, data_dev, perm, frozen_vec, batch, train_epoch, train_step,
-         eval_step, steps_per_epoch) = build("32", n_epochs=EPOCHS_PER_DISPATCH)
+         eval_step, steps_per_epoch, _) = build("32", n_epochs=EPOCHS_PER_DISPATCH)
         ips_block, _ = bench_fused(
             state, data_dev, perm, frozen_vec, train_epoch, steps_per_epoch,
             n_epochs=EPOCHS_PER_DISPATCH,
         )
         # extras: single-epoch fused, per-step, eval p50, bf16, image family
-        (state1, data1, perm1, _, batch1, epoch1, step1, eval1, spe1) = build("32")
+        (state1, data1, perm1, _, batch1, epoch1, step1, eval1, spe1,
+         bundle1) = build("32")
         ips_fused, state1 = bench_fused(state1, data1, perm1, None, epoch1, spe1)
         ips_step, state1 = bench_per_step(state1, batch1, step1, spe1)
         eval_p50_ms = bench_eval(state1, batch1, eval1)
+        eval_dev_ms = bench_eval_on_device(state1, batch1, bundle1)
 
-        (state3, data3, perm3, _, _, epoch3, _, _, spe3) = build("bf16")
+        (state3, data3, perm3, _, _, epoch3, _, _, spe3, _) = build("bf16")
         ips_bf16, _ = bench_fused(state3, data3, perm3, None, epoch3, spe3)
 
         image_metrics = bench_image_family()
@@ -337,7 +382,7 @@ def main() -> None:
 
     value = ips_block
     result = {
-        "metric": "ViT baseline train images/sec/chip (fp32, 10-epoch fused dispatch)",
+        "metric": "ViT baseline train images/sec/chip (fp32, whole-run 40-epoch fused dispatch)",
         "value": round(value, 1),
         "unit": "images/sec/chip",
         "vs_baseline": round(value / A100_TORCH_EST_IPS, 3),
@@ -346,6 +391,7 @@ def main() -> None:
             "train_ips_per_step_path": round(ips_step, 1),
             "train_ips_bf16_fused": round(ips_bf16, 1),
             "eval_step_p50_ms": round(eval_p50_ms, 3),
+            "eval_step_on_device_ms": round(eval_dev_ms, 4),
             "lr_sweep_7x4ep_wall_s": round(lr_sweep_wall_s, 1),
             "batch_size": BATCH,
             "n_train": N_TRAIN,

@@ -57,6 +57,107 @@ def test_opt_config_serialization():
     assert "scheduler" not in c2.to_dict()
 
 
+def test_sweep_epoch_scales_warmup():
+    """Warmup parity with the real training step: trials sweep the SAME
+    LR curve Experiment will run — 0.1-start linear ramp, main scheduler
+    clock starting after warmup (train/optim.py schedule_scale)."""
+    import math
+
+    from vit_tpu.opt.parallel_sweep import _cosine_scale, sweep_epoch_scales
+
+    configs = [
+        SweepConfig(0, 1e-3, None),
+        SweepConfig(1, 1e-3, "cosine", T_max=10, eta_min=0.0),
+        SweepConfig(2, 1e-3, "plateau", factor=0.5, patience=1),
+    ]
+    # epoch 0 with 4 warmup epochs: every replica at 0.1x
+    s0 = sweep_epoch_scales(configs, 0, 4, {2: 1.0}, 10)
+    assert s0 == pytest.approx([0.1, 0.1, 0.1])
+    # mid-warmup: linear ramp 0.1 + 0.9 * e/warm
+    s2 = sweep_epoch_scales(configs, 2, 4, {2: 1.0}, 10)
+    assert s2 == pytest.approx([0.55, 0.55, 0.55])
+    # after warmup: none=1, cosine clock starts at 0 (epoch - warm)
+    s4 = sweep_epoch_scales(configs, 4, 4, {2: 1.0}, 10)
+    assert s4[0] == pytest.approx(1.0)
+    assert s4[1] == pytest.approx(_cosine_scale(0, 10, 0.0)) == pytest.approx(1.0)
+    s6 = sweep_epoch_scales(configs, 6, 4, {2: 1.0}, 10)
+    assert s6[1] == pytest.approx(0.5 * (1 + math.cos(math.pi * 2 / 10)))
+    # plateau scale composes multiplicatively after warmup
+    s6p = sweep_epoch_scales(configs, 6, 4, {2: 0.25}, 10)
+    assert s6p[2] == pytest.approx(0.25)
+    # plateau scale also applies DURING warmup (Experiment multiplies
+    # plateau_scale outside the schedule)
+    s1p = sweep_epoch_scales(configs, 0, 4, {2: 0.5}, 10)
+    assert s1p[2] == pytest.approx(0.05)
+    # no warmup: epoch 0 is full scale
+    assert sweep_epoch_scales(configs, 0, 0, {2: 1.0}, 10)[0] == pytest.approx(1.0)
+
+
+def test_engine_resolves_warmup_from_config(sweep_base_config, tmp_path, monkeypatch):
+    """A warmup-bearing config sweeps WITH warmup: the engine passes the
+    config's resolved warmup_epochs into the per-epoch LR scales."""
+    import vit_tpu.opt.parallel_sweep as ps
+
+    with open(sweep_base_config) as f:
+        cfg = yaml.safe_load(f)
+    cfg["warmup"] = {"epochs": 1}
+    path = tmp_path / "warm.yaml"
+    with open(path, "w") as f:
+        yaml.safe_dump(cfg, f)
+
+    seen = []
+    real = ps.sweep_epoch_scales
+
+    def spy(configs, epoch, warmup_epochs, plateau_scales, max_epochs):
+        seen.append((epoch, warmup_epochs))
+        return real(configs, epoch, warmup_epochs, plateau_scales, max_epochs)
+
+    monkeypatch.setattr(ps, "sweep_epoch_scales", spy)
+    runner = ParallelSweepRunner(
+        str(path), lr_values=[1e-3, 1e-2], results_dir=str(tmp_path / "runs"),
+        seed=0,
+    )
+    best = runner.run()
+    assert best is not None
+    assert seen and all(w == 1 for _, w in seen)
+    assert {e for e, _ in seen} == {0, 1}  # both epochs scheduled
+
+
+def test_image_config_sweep_end_to_end(tmp_path):
+    """The engine sweeps anything Experiment accepts — an image config must
+    complete `launch.sh lr` (reference engine is datamodule-agnostic,
+    `/root/reference/src/opt/parallel_sweep.py:150-164`)."""
+    cfg = {
+        "project": "vit-tpu-test",
+        "model": {
+            "name": "vit", "task_type": "cls", "input_kind": "image",
+            "image_size": 16, "patch_size": 8, "hidden_size": 32,
+            "num_hidden_layers": 1, "num_attention_heads": 2,
+            "num_labels": 4, "num_channels": 3,
+            "pos_encoding_type": "learned",
+        },
+        "train": {"batch_size": 16, "ep": 2, "save": False},
+        "loss": {"name": "ce"},
+        "opt": {"type": "AdamW", "lr": 1e-3, "lr_sch": "none"},
+        "data": {"num_samples": 64},
+        "noise": {"noise_level": 0},
+        "viz": {"enable": False},
+    }
+    path = tmp_path / "img.yaml"
+    with open(path, "w") as f:
+        yaml.safe_dump(cfg, f)
+    runner = ParallelSweepRunner(
+        str(path), lr_values=[1e-3, 1e-2], metric_name="val_acc",
+        metric_goal="maximize", results_dir=str(tmp_path / "runs"), seed=0,
+    )
+    best = runner.run()
+    assert best is not None and best.metric is not None
+    with open(runner.summary_path) as f:
+        summary = yaml.safe_load(f)
+    assert len(summary["results"]) == 2
+    assert all(r["status"] == "ok" for r in summary["results"])
+
+
 def test_dry_run_no_artifacts(sweep_base_config, tmp_path):
     runner = ParallelSweepRunner(
         sweep_base_config, lr_values=[1e-3], results_dir=str(tmp_path / "runs")

@@ -39,12 +39,17 @@ _AXIS_MULTS = (0x9E3779B1, 0x85EBCA6B, 0xC2B2AE35, 0x27D4EB2F,
 _SEED_MULT = 0x7FEB352D  # odd, and not shared with any axis
 
 
-def _coord_hash(shape, seed):
+def _coord_hash(shape, seed, offsets=None):
     """uint32 hash of each element's coordinates, mixed with ``seed``.
 
     Per-axis mixing decorrelates (i, j) from (j, i); the final avalanche is
     the murmur3 finalizer shared with the flash kernel's in-kernel dropout
     (one implementation of the hash-quality-critical mix).
+
+    ``offsets`` (optional, one int32 scalar per axis, traced values allowed)
+    shifts each axis's coordinates — this is how a SHARD of a logically
+    larger tensor (e.g. one device's block of the global attention-probs
+    matrix under ring attention) draws the same mask it would get unsharded.
     """
     u32 = lambda v: jax.lax.convert_element_type(v, jnp.uint32)  # noqa: E731
     if len(shape) > len(_AXIS_MULTS):
@@ -52,11 +57,21 @@ def _coord_hash(shape, seed):
     x = u32(seed) * np.uint32(_SEED_MULT)
     for axis, mult in zip(range(len(shape)), _AXIS_MULTS):
         idx = jax.lax.broadcasted_iota(jnp.int32, shape, axis)
+        if offsets is not None and offsets[axis] is not None:
+            idx = idx + jnp.asarray(offsets[axis], jnp.int32)
         x = x + u32(idx) * np.uint32(mult)
         # mix between axes so (i, j) and (j, i) decorrelate
         x = x ^ (x >> 15)
         x = x * np.uint32(_M1)
     return _fmix32(x)
+
+
+def hash_keep_mask(shape, rate: float, seed, offsets=None) -> jnp.ndarray:
+    """Inverted-dropout keep mask (``1/(1-rate)`` or 0) for a coordinate
+    block at ``offsets`` of a logically larger tensor."""
+    keep = 1.0 - float(rate)
+    bits = _coord_hash(shape, seed, offsets)
+    return jnp.where(bits < _keep_threshold(rate), 1.0 / keep, 0.0)
 
 
 def hash_dropout(x: jnp.ndarray, rate: float, seed) -> jnp.ndarray:

@@ -119,6 +119,41 @@ def _cosine_scale(epoch: int, t_max: int, eta_ratio: float) -> float:
     return eta_ratio + (1.0 - eta_ratio) * 0.5 * (1 + math.cos(math.pi * epoch / t_max))
 
 
+def sweep_epoch_scales(
+    configs: List[SweepConfig],
+    epoch: int,
+    warmup_epochs: int,
+    plateau_scales: Dict[int, float],
+    max_epochs: int,
+) -> np.ndarray:
+    """Per-replica LR scale at ``epoch``.
+
+    Composes the SAME linear-warmup prefix the real training step applies
+    (``schedule_scale``, train/optim.py: 0.1-start ramp, main scheduler
+    clock starts after warmup) with the trial's scheduler and the host
+    plateau scale — the reference sweeps full ``Experiment``s, so every
+    trial's LR curve includes warmup
+    (`/root/reference/src/opt/optimizer.py:117-144`). An LR selected
+    without warmup on a config that trains *with* warmup would be tuned
+    for the wrong dynamics.
+    """
+    scales = np.ones(len(configs), np.float32)
+    warm = int(warmup_epochs or 0)
+    for i, c in enumerate(configs):
+        if warm > 0 and epoch < warm:
+            s = 0.1 + 0.9 * min(epoch / warm, 1.0)
+        elif c.scheduler == "cosine":
+            t_max = int(c.T_max or max_epochs)
+            eta_ratio = (c.eta_min or 0.0) / c.lr if c.lr else 0.0
+            s = _cosine_scale(max(epoch - warm, 0), t_max, eta_ratio)
+        else:
+            s = 1.0
+        if c.scheduler == "plateau":
+            s *= plateau_scales.get(i, 1.0)
+        scales[i] = s
+    return scales
+
+
 class _VmapSweepEngine:
     """Train every SweepConfig simultaneously as vmapped replicas."""
 
@@ -161,7 +196,15 @@ class _VmapSweepEngine:
 
         bundle = get_model(cfg)
         task = bundle.vit_config.task_type
-        dm = SpecDataModule.from_config(cfg)
+        # Same datamodule dispatch as Experiment (loop.py): the reference
+        # engine sweeps anything Experiment accepts
+        # (`/root/reference/src/opt/parallel_sweep.py:150-164`).
+        if bundle.vit_config.input_kind == "image":
+            from vit_tpu.data.images import ImageDataModule
+
+            dm = ImageDataModule.from_config(cfg)
+        else:
+            dm = SpecDataModule.from_config(cfg)
         dm.setup("fit")
         if dm.val is None or len(dm.val) == 0:
             raise RuntimeError("LR sweep requires a validation set (data.val_path)")
@@ -182,8 +225,8 @@ class _VmapSweepEngine:
 
         # Per-replica init (seed + idx parity with `parallel_sweep.py:155`).
         module = bundle.module
-        in_dim = dm.train.flux.shape[1]
-        dummy = jnp.zeros((1, in_dim), jnp.float32)
+        sample = dm.train.model_input
+        dummy = jnp.zeros((1,) + tuple(sample.shape[1:]), jnp.float32)
         init_keys = jnp.stack(
             [jax.random.PRNGKey(self.seed + c.idx) for c in self.configs]
         )
@@ -192,14 +235,24 @@ class _VmapSweepEngine:
             out_shardings=rep_shard,
         )(init_keys)
 
-        spec = OptSpec(
-            lr=1.0,  # per-replica LR injected at runtime
-            opt_type=str((cfg.get("opt", {}) or {}).get("type", "adam")).lower(),
-            weight_decay=float((cfg.get("opt", {}) or {}).get("weight_decay", 0.0) or 0.0),
-            grad_clip=float(train_cfg.get("grad_clip", 0.5)),
-            steps_per_epoch=steps_per_epoch,
-            total_epochs=max_epochs,
+        # The FULL OptSpec Experiment would resolve (weight decay, grad
+        # clip, optimizer family — every opt field, not a hand-picked
+        # subset), with the trial-varied pieces neutralized: lr=1.0 (the
+        # per-replica LR vector is injected at runtime) and scheduler=None
+        # (per-replica schedules + warmup are host-computed in
+        # ``sweep_epoch_scales``). lr_sch is stripped BEFORE resolution so
+        # a base-config onecycle can't zero the warmup the trials train
+        # with.
+        cfg_for_spec = copy.deepcopy(cfg)
+        (cfg_for_spec.get("opt", {}) or {}).pop("lr_sch", None)
+        spec = OptSpec.from_config(
+            cfg_for_spec, steps_per_epoch,
+            monitor_metric=self.metric_name, has_val=True,
         )
+        spec = dataclasses.replace(
+            spec, lr=1.0, scheduler=None, total_epochs=max_epochs
+        )
+        warmup_epochs = int(spec.warmup_epochs or 0)
         tx = build_optimizer(spec)
         opt_state_r = jax.jit(jax.vmap(tx.init), out_shardings=rep_shard)(params_r)
 
@@ -327,18 +380,17 @@ class _VmapSweepEngine:
         }
 
         def epoch_lrs(epoch: int) -> np.ndarray:
-            scales = np.ones(R, np.float32)
-            for i, c in enumerate(self.configs):
-                if c.scheduler == "cosine":
-                    t_max = int(c.T_max or max_epochs)
-                    eta_ratio = (c.eta_min or 0.0) / c.lr if c.lr else 0.0
-                    scales[i] = _cosine_scale(epoch, t_max, eta_ratio)
-                elif c.scheduler == "plateau":
-                    scales[i] = plateaus[i].scale
-            return base_lrs * scales
+            return base_lrs * sweep_epoch_scales(
+                self.configs, epoch, warmup_epochs,
+                {i: p.scale for i, p in plateaus.items()}, max_epochs,
+            )
 
+        # 'error' is only read by noise injection — shipping (and
+        # permutation-gathering, every epoch) a dead 164 MB column at
+        # noise_level=0 costs real bandwidth.
+        need = ("x", "error", "label") if noise_level > 0 else ("x", "label")
         train_cols = {
-            k: v for k, v in dm.train.arrays().items() if k in ("x", "error", "label")
+            k: v for k, v in dm.train.arrays().items() if k in need
         }
         train_data_dev = jax.device_put(train_cols, repl)
         n_train = len(dm.train)

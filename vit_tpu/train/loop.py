@@ -734,8 +734,14 @@ class Experiment:
             fused_cfg = fused_cfg.strip().lower() in ("1", "true", "yes", "on")
         elif not isinstance(fused_cfg, (bool, str)):
             fused_cfg = bool(fused_cfg)
+        # 'error' feeds noise injection only (`_make_grads_fn`); at
+        # noise_level=0 it would be device-put AND permutation-gathered
+        # every fused epoch (a dead 164 MB column on the baseline workload).
+        need_cols = (
+            ("x", "error", "label") if self.noise_level > 0 else ("x", "label")
+        )
         train_cols = {
-            k: v for k, v in train_ds.arrays().items() if k in ("x", "error", "label")
+            k: v for k, v in train_ds.arrays().items() if k in need_cols
         }
         data_bytes = sum(v.nbytes for v in train_cols.values())
         use_fused = (
