@@ -56,3 +56,120 @@ def test_ring_rejects_indivisible_length(mesh8):
     q = jnp.zeros((1, 2, 130, 16))
     with pytest.raises(ValueError, match="divisible"):
         ring_attention(q, q, q, mesh=mesh8)
+
+
+def test_ring_with_batch_axis_matches_reference():
+    """DP batch + SP sequence on one (data=4, model=2) mesh."""
+    mesh = make_mesh(num_devices=8, model_parallel=2)
+    rng = np.random.default_rng(3)
+    shape = (8, 2, 64, 16)
+    q, k, v = (jnp.asarray(rng.standard_normal(shape), jnp.float32) for _ in range(3))
+    out = ring_attention(q, k, v, mesh=mesh, axis="model", batch_axis="data")
+    np.testing.assert_allclose(np.asarray(out), np.asarray(_ref(q, k, v)), atol=2e-5)
+
+
+def test_ring_dropout_matches_global_mask(mesh8):
+    """In-ring dropout must draw the SAME mask the unsharded computation
+    would: numerator-only inverted dropout with globally-offset hash
+    coordinates — sharding is an implementation detail, not an RNG
+    stream."""
+    from vit_tpu.ops.dropout import hash_keep_mask
+
+    rng = np.random.default_rng(4)
+    shape = (2, 2, 128, 16)
+    rate, seed = 0.3, 12345
+    q, k, v = (jnp.asarray(rng.standard_normal(shape), jnp.float32) for _ in range(3))
+
+    out = ring_attention(
+        q, k, v, mesh=mesh8, axis="data", dropout_rate=rate, dropout_seed=seed
+    )
+
+    # global reference: dropout(softmax(s)) @ v with the same hash mask
+    b, h, t, d = shape
+    s = jnp.einsum("bhqd,bhkd->bhqk", q, k) * (d**-0.5)
+    p = jax.nn.softmax(s, axis=-1)
+    keep = hash_keep_mask((b, h, t, t), rate, seed)
+    ref = jnp.einsum("bhqk,bhkd->bhqd", p * keep, v)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+    # and it actually drops something
+    assert float(jnp.abs(out - _ref(q, k, v)).max()) > 1e-3
+
+
+def test_model_attention_ring_impl_matches_xla():
+    """model.attn_impl='ring' through MultiHeadSelfAttention equals the xla
+    path (deterministic forward, same params)."""
+    from vit_tpu.models.attention import MultiHeadSelfAttention
+    from vit_tpu.parallel.mesh import active_mesh, set_active_mesh
+
+    mesh = make_mesh(num_devices=8, model_parallel=2)
+    prev = active_mesh()
+    set_active_mesh(mesh)
+    try:
+        rng = np.random.default_rng(5)
+        x = jnp.asarray(rng.standard_normal((8, 16, 32)), jnp.float32)
+        ring = MultiHeadSelfAttention(hidden_size=32, num_heads=2, impl="ring")
+        xla = MultiHeadSelfAttention(hidden_size=32, num_heads=2, impl="xla")
+        params = ring.init(jax.random.PRNGKey(0), x, deterministic=True)
+        out_r = ring.apply(params, x, deterministic=True)
+        out_x = xla.apply(params, x, deterministic=True)
+        np.testing.assert_allclose(
+            np.asarray(out_r), np.asarray(out_x), atol=2e-5
+        )
+    finally:
+        set_active_mesh(prev)
+
+
+def test_model_attention_ring_requires_mesh():
+    from vit_tpu.models.attention import MultiHeadSelfAttention
+    from vit_tpu.parallel.mesh import active_mesh, set_active_mesh
+
+    prev = active_mesh()
+    set_active_mesh(None)
+    try:
+        x = jnp.zeros((2, 16, 32))
+        m = MultiHeadSelfAttention(hidden_size=32, num_heads=2, impl="ring")
+        with pytest.raises(RuntimeError, match="training mesh"):
+            m.init(jax.random.PRNGKey(0), x, deterministic=True)
+    finally:
+        set_active_mesh(prev)
+
+
+def test_experiment_trains_with_ring_attention(tmp_path):
+    """End-to-end: a config trains with model.attn_impl: ring +
+    train.sequence_parallel on the 8-device mesh, and (dropout/noise off)
+    matches the xla-attention run's metrics — VERDICT round-2 item 5."""
+    from vit_tpu.data.synthetic import write_dummy_h5
+    from vit_tpu.train.loop import Experiment
+
+    # length 480, patch/stride 32 -> 15 patches + CLS = 16 tokens: divides
+    # the sequence_parallel=2 'model' axis.
+    h5 = str(tmp_path / "ring.h5")
+    write_dummy_h5(h5, n=96, length=480, seed=0)
+
+    def cfg(attn_impl, sp):
+        return {
+            "project": "vit-tpu-test",
+            "model": {
+                "name": "vit", "task_type": "reg", "image_size": 480,
+                "patch_size": 32, "hidden_size": 32, "num_hidden_layers": 2,
+                "num_attention_heads": 2, "stride_size": 32, "proj_fn": "SW",
+                "attn_impl": attn_impl,
+                "hidden_dropout_prob": 0.0,
+                "attention_probs_dropout_prob": 0.0,
+            },
+            "train": {"batch_size": 16, "ep": 2, "save": False,
+                      "sequence_parallel": sp},
+            "loss": {"name": "mae"},
+            "opt": {"type": "AdamW", "lr": 1e-3, "lr_sch": "none"},
+            "data": {"file_path": h5, "val_path": h5, "num_samples": 96,
+                     "param": "log_g", "label_norm": "minmax"},
+            "noise": {"noise_level": 0},
+            "viz": {"enable": False},
+        }
+
+    m_ring = Experiment(cfg("ring", 2)).fit()
+    m_xla = Experiment(cfg("xla", 1)).fit()
+    assert np.isfinite(m_ring["val_mae"])
+    # identical update trajectory up to fp reduction order (online softmax
+    # vs one-shot softmax), accumulated over 2 epochs of training
+    assert m_ring["val_mae"] == pytest.approx(m_xla["val_mae"], rel=1e-3)

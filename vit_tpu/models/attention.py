@@ -22,6 +22,13 @@ Kernel dispatch (``impl``):
   memory even when training long sequences with dropout. The mask stream
   differs from the xla path's ``nn.Dropout`` (semantic parity, as with all
   RNG streams in this rebuild).
+* ``"ring"``  — sequence-parallel exact attention
+  (:mod:`vit_tpu.ops.ring_attention`): the sequence is sharded over the
+  mesh ``model`` axis (``train.sequence_parallel``) and K/V shards rotate
+  around the ring via ``ppermute``. Requires the active mesh (set by
+  ``Experiment``) and ``seq_len % sp == 0``; dropout is applied in-ring
+  with globally-consistent hash masks; ``capture_probs`` epochs fall back
+  to the xla math.
 
 Softmax always accumulates in fp32 regardless of compute dtype.
 """
@@ -116,7 +123,43 @@ class MultiHeadSelfAttention(nn.Module):
 
         dropout_active = self.dropout_rate > 0 and not deterministic
         impl = select_attn_impl(self.impl, seq_len, head_dim)
-        if impl == "flash" and not capture_probs:
+        if impl == "ring" and capture_probs:
+            # Probability capture needs the materialized (global) probs —
+            # fall back to the xla math for diagnostics epochs, exactly as
+            # the flash path does below.
+            impl = "xla"
+        if impl == "ring":
+            from vit_tpu.ops.ring_attention import ring_attention
+            from vit_tpu.parallel.mesh import active_mesh
+
+            mesh = active_mesh()
+            if mesh is None:
+                raise RuntimeError(
+                    "attn_impl='ring' needs the training mesh: Experiment "
+                    "sets it automatically; library users call "
+                    "vit_tpu.parallel.mesh.set_active_mesh(mesh) first"
+                )
+            sp = mesh.shape.get("model", 1)
+            if seq_len % max(sp, 1) != 0:
+                raise ValueError(
+                    f"attn_impl='ring': sequence length {seq_len} (incl. "
+                    f"CLS) must divide by the 'model' mesh axis ({sp}); "
+                    "choose image/patch/stride so num_patches+1 is a "
+                    "multiple of train.sequence_parallel"
+                )
+            seed = None
+            if dropout_active:
+                seed = jax.random.randint(
+                    self.make_rng("dropout"), (), 0,
+                    jnp.iinfo(jnp.int32).max, dtype=jnp.int32,
+                )
+            context = ring_attention(
+                q, k, v, mesh=mesh, axis="model",
+                batch_axis="data" if mesh.shape.get("data", 1) > 1 else None,
+                dropout_rate=self.dropout_rate if dropout_active else 0.0,
+                dropout_seed=seed,
+            )
+        elif impl == "flash" and not capture_probs:
             from vit_tpu.ops.flash_attention import flash_attention
 
             if dropout_active:

@@ -13,7 +13,7 @@ Parity targets:
 
 TPU-first extensions (no reference analogue):
 * ``dtype``/``param_dtype`` compute-precision policy (bf16 on the MXU),
-* ``attn_impl`` kernel selection (xla | flash | auto),
+* ``attn_impl`` kernel selection (xla | flash | auto | ring),
 * ``input_kind: image`` + ``IMAGE_VIT_PRESETS`` (ViT-S/16, B/16, L/16) for
   the standard image-ViT family named in the rebuild's benchmark configs.
 """
@@ -88,7 +88,7 @@ class VitConfig:
     max_position_embeddings: int = 512
     rope_base: float = 10000.0
     input_kind: str = "spectra"  # 'spectra' (1-D) | 'image' (2-D)
-    attn_impl: str = "auto"  # 'xla' | 'flash' | 'auto'
+    attn_impl: str = "auto"  # 'xla' | 'flash' | 'auto' | 'ring' (seq-parallel)
     precision: str = "float32"  # compute dtype name
     remat: bool = False
     # Counter-based dropout masks (vit_tpu.ops.dropout): ~10% faster epochs

@@ -28,7 +28,25 @@ __all__ = [
     "replicated_sharding",
     "maybe_initialize_distributed",
     "num_data_shards",
+    "set_active_mesh",
+    "active_mesh",
 ]
+
+# The mesh the current Experiment (or test) is training under. Flax modules
+# can't take a Mesh through their config dataclass without poisoning the
+# jit cache key, so mesh-consuming kernels (ring attention) read it from
+# here at TRACE time — it is a static compile-time constant, set once by
+# Experiment before any step is compiled.
+_ACTIVE_MESH: Optional[Mesh] = None
+
+
+def set_active_mesh(mesh: Optional[Mesh]) -> None:
+    global _ACTIVE_MESH
+    _ACTIVE_MESH = mesh
+
+
+def active_mesh() -> Optional[Mesh]:
+    return _ACTIVE_MESH
 
 
 def maybe_initialize_distributed() -> None:

@@ -474,16 +474,36 @@ class Experiment:
             num_devices = train_cfg.get("gpus")  # CLI-injected device count
         # Tensor parallelism: train.model_parallel splits a `model` mesh axis
         # (column-parallel kernels via infer_param_shardings); default 1 = the
-        # reference's pure-DP mode.
+        # reference's pure-DP mode. Sequence parallelism
+        # (train.sequence_parallel + model.attn_impl: ring) reuses the same
+        # axis for ring attention's K/V rotation instead — params stay
+        # replicated over it, the sequence is sharded.
         tp = int(train_cfg.get("model_parallel", 1) or 1)
-        self.mesh = make_mesh(num_devices=num_devices, model_parallel=tp)
+        self.sp = int(train_cfg.get("sequence_parallel", 1) or 1)
+        if tp > 1 and self.sp > 1:
+            raise ValueError(
+                "train.model_parallel and train.sequence_parallel both split "
+                "the 'model' mesh axis — set at most one of them"
+            )
+        axis_split = max(tp, self.sp)
+        if self.sp > 1 and self.bundle.vit_config.attn_impl != "ring":
+            print(
+                f"[experiment] train.sequence_parallel={self.sp} has no "
+                "effect without model.attn_impl: ring"
+            )
+        self.mesh = make_mesh(num_devices=num_devices, model_parallel=axis_split)
         # Keep per-device batch shape static: the data axis must divide batch.
         n_data = self.mesh.shape.get("data", 1)
         data_par = math.gcd(self.batch_size, n_data)
         if data_par != n_data:
             print(f"[experiment] batch {self.batch_size} not divisible by "
                   f"{n_data} data shards; using {data_par}")
-            self.mesh = make_mesh(num_devices=data_par * tp, model_parallel=tp)
+            self.mesh = make_mesh(
+                num_devices=data_par * axis_split, model_parallel=axis_split
+            )
+        from vit_tpu.parallel.mesh import set_active_mesh
+
+        set_active_mesh(self.mesh)  # ring attention reads it at trace time
         self.batch_shard = batch_sharding(self.mesh)
         self.repl_shard = replicated_sharding(self.mesh)
 
@@ -537,6 +557,8 @@ class Experiment:
         variables = self.bundle.module.init(init_rng, dummy)
         params = variables["params"]
         tp = self.mesh.shape.get("model", 1)
+        if getattr(self, "sp", 1) > 1:
+            tp = 1  # SP reuses the axis for sequence sharding; params replicate
         if tp > 1:
             # Tensor-parallel layout: params per infer_param_shardings; the
             # optimizer moments inherit the params' shardings (eager optax
