@@ -89,6 +89,47 @@ def test_viz_diagnostics_builds_frames_and_gifs(tmp_path):
         assert os.path.exists(str(tmp_path / "m" / f"{key}_final.png"))
 
 
+def test_label_axis_bounds():
+    """Fixed axis ranges (reference `plotter.py:73-100`): original minmax
+    parameter ranges when stats exist, else data range + 5% margin."""
+    import numpy as np
+
+    from vit_tpu.viz.viz_utils import label_axis_bounds
+
+    labels = np.array([[0.0, 10.0], [2.0, 30.0], [1.0, 20.0]])
+    # minmax stats -> exactly the original parameter ranges
+    b = label_axis_bounds(labels, label_norm="minmax",
+                          label_min=[-1.0, 5.0], label_max=[3.0, 40.0])
+    assert b == [(-1.0, 3.0), (5.0, 40.0)]
+    # no stats -> data range with 5% margin
+    b2 = label_axis_bounds(labels)
+    assert b2[0][0] == pytest.approx(0.0 - 0.1)
+    assert b2[0][1] == pytest.approx(2.0 + 0.1)
+    assert b2[1] == (pytest.approx(9.0), pytest.approx(31.0))
+
+
+def test_distribution_frames_share_axes():
+    """Consecutive GIF frames must not wobble: the same VizDiagnostics
+    instance pins its bounds on the first epoch."""
+    import numpy as np
+
+    from vit_tpu.viz.diagnostics import VizDiagnostics
+
+    viz = VizDiagnostics({"create_distribution_gif": True}, model_name="t",
+                         param_names=["a"])
+    rng = np.random.default_rng(0)
+    labels = rng.random((32, 1))
+    viz.on_validation_epoch(0, rng.random((32, 1)), labels, {})
+    first_bounds = viz.label_bounds
+    assert first_bounds is not None
+    # wildly different predictions at epoch 1 must not move the bounds
+    viz.on_validation_epoch(1, rng.random((32, 1)) * 100, labels, {})
+    assert viz.label_bounds == first_bounds
+    assert len(viz.frames["distribution"]) == 2
+    # frames identical in size (rendered with the same fixed axes)
+    assert viz.frames["distribution"][0].size == viz.frames["distribution"][1].size
+
+
 def test_cka_monitor_flags_frozen_layers():
     cka = CKAMonitor(threshold=0.95)
     diag0 = _fake_diag(seed=0)

@@ -52,14 +52,28 @@ def active_mesh() -> Optional[Mesh]:
 def maybe_initialize_distributed() -> None:
     """Initialize jax.distributed when launched under a multi-host coordinator.
 
-    No-op for single-host runs (the common case on v4-8/v5e-8 slices).
+    No-op for single-host runs (the common case on v4-8/v5e-8 slices). On
+    TPU pods ``jax.distributed.initialize()`` auto-detects the topology;
+    launchers that aren't auto-detectable (manual process groups, the CPU
+    integration test) pass the explicit trio via ``JAX_COORDINATOR_ADDRESS``
+    + ``JAX_NUM_PROCESSES`` + ``JAX_PROCESS_ID``.
     """
-    if not os.environ.get("JAX_COORDINATOR_ADDRESS"):
+    addr = os.environ.get("JAX_COORDINATOR_ADDRESS")
+    if not addr:
         return  # single-host: decide from env alone — touching the backend
         # here (e.g. jax.process_count()) would initialize it and make a
         # later jax.distributed.initialize() impossible.
+    kwargs = {}
+    nproc = os.environ.get("JAX_NUM_PROCESSES")
+    pid = os.environ.get("JAX_PROCESS_ID")
+    if nproc is not None and pid is not None:
+        kwargs = dict(
+            coordinator_address=addr,
+            num_processes=int(nproc),
+            process_id=int(pid),
+        )
     try:
-        jax.distributed.initialize()
+        jax.distributed.initialize(**kwargs)
     except (RuntimeError, ValueError) as e:  # already initialized
         print(f"[mesh] jax.distributed.initialize skipped: {e}")
 

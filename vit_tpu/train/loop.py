@@ -395,6 +395,21 @@ def make_eval_step(
     return jax.jit(eval_step, **kwargs)
 
 
+def _dataset_label_bounds(ds) -> Optional[list]:
+    """Fixed denormalized axis bounds from a RegSpecDataset's minmax label
+    stats (the ORIGINAL parameter ranges — reference `plotter.py:73-100`);
+    None lets the viz fall back to first-epoch data ranges."""
+    if (
+        getattr(ds, "label_norm", None) == "minmax"
+        and getattr(ds, "label_min", None) is not None
+        and getattr(ds, "label_max", None) is not None
+    ):
+        lo = np.ravel(np.asarray(ds.label_min, np.float64))
+        hi = np.ravel(np.asarray(ds.label_max, np.float64))
+        return [(float(a), float(b)) for a, b in zip(lo, hi)]
+    return None
+
+
 def _host_loss(logits: np.ndarray, labels: np.ndarray, task: str, loss_name: str) -> float:
     if task == "cls":
         z = logits - logits.max(axis=-1, keepdims=True)
@@ -695,15 +710,20 @@ class Experiment:
         if n < min(num_samples, len(dataset)):
             print(f"[viz] capture batch capped at {n} by token count "
                   f"(T={vcfg.seq_len}, budget={budget // 1024**2} MB)")
-        arrays = {k: v[:n] for k, v in dataset.arrays().items()}
-        batch = jax.device_put(arrays, self.batch_shard if n % self.mesh.shape.get("data", 1) == 0 else self.repl_shard)
+        # Only 'x' enters the capture graph — labels stay host-side and
+        # flux/error are never read, so transferring them would be ~3x the
+        # needed bytes every diagnostics epoch.
+        all_arrays = dataset.arrays()
+        labels_host = _np.asarray(all_arrays["label"][:n])
+        batch = jax.device_put(
+            {"x": all_arrays["x"][:n]},
+            self.batch_shard
+            if n % self.mesh.shape.get("data", 1) == 0
+            else self.repl_shard,
+        )
         logits, reduced = self._capture_step(self.state.params, batch)
         diag = extract_diagnostics(jax.device_get(reduced))
-        return (
-            _np.asarray(jax.device_get(logits)),
-            _np.asarray(arrays.get("label")),
-            diag,
-        )
+        return (_np.asarray(jax.device_get(logits)), labels_host, diag)
 
     def _metrics_from_arrays(
         self, logits: np.ndarray, labels: np.ndarray, prefix: str
@@ -933,6 +953,7 @@ class Experiment:
             model_name=self.bundle.model_name,
             param_names=parse_param_list((self.config.get("data", {}) or {}).get("param")),
             denormalize=denorm,
+            label_bounds=_dataset_label_bounds(train_ds),
         )
         if viz is not None and viz_every_steps > 0 and use_fused:
             # Fused mode runs a whole epoch per dispatch; honor the step
@@ -1206,6 +1227,7 @@ class Experiment:
             denormalize=ds.denormalize,
             model_name=self.bundle.model_name,
             quick_mode=quick,
+            label_bounds=_dataset_label_bounds(ds),
         )
         plotter.generate_all_plots(logits, labels, logger=self.logger)
 

@@ -21,6 +21,7 @@ def create_viz_callbacks(
     model_name: str = "model",
     param_names: Optional[list] = None,
     denormalize=None,
+    label_bounds: Optional[list] = None,
 ) -> Tuple[Optional[VizDiagnostics], Optional[CKAMonitor], int, int]:
     """Returns (viz, cka, log_every_n_epochs, log_every_n_steps).
 
@@ -40,6 +41,7 @@ def create_viz_callbacks(
         model_name=model_name,
         param_names=param_names,
         denormalize=denormalize,
+        label_bounds=label_bounds,
         # Reference `callback_factory.py:28`: viz.save_local overrides the
         # train.save default; without either, artifacts go W&B-only (or are
         # skipped when no logger is attached).

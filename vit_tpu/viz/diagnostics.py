@@ -154,12 +154,17 @@ class VizDiagnostics:
         param_names: Optional[List[str]] = None,
         denormalize=None,
         save_enabled: bool = True,
+        label_bounds: Optional[List[tuple]] = None,
     ) -> None:
         self.cfg = viz_cfg or {}
         self.model_name = model_name
         self.param_names = param_names or []
         self.denormalize = denormalize or (lambda y: y)
         self.save_enabled = save_enabled
+        # fixed denormalized axis bounds per output: GIF frames must not
+        # wobble epoch-to-epoch (reference `plotter.py:73-100`); lazily
+        # derived from the first epoch's labels when not provided
+        self.label_bounds = label_bounds
         self.save_dir = os.path.join(
             self.cfg.get("save_dir", "./results/viz"), model_name
         )
@@ -197,9 +202,18 @@ class VizDiagnostics:
             preds = preds2.argmax(axis=1).astype(np.float64).reshape(-1, 1)
         names = self.param_names or [str(j) for j in range(np.reshape(preds, (len(preds), -1)).shape[1])]
         if self._want("distribution"):
+            preds_d = self.denormalize(preds)
+            labels_d = self.denormalize(labels)
+            if self.label_bounds is None:
+                from vit_tpu.viz.viz_utils import label_axis_bounds
+
+                # pin to the FIRST epoch's label range: labels are the same
+                # val set every epoch, so this is constant across the GIF
+                self.label_bounds = label_axis_bounds(labels_d)
             self.frames["distribution"].append(
                 gif_maker.distribution_frame(
-                    self.denormalize(preds), self.denormalize(labels), names, epoch, self.model_name
+                    preds_d, labels_d, names, epoch, self.model_name,
+                    bounds=self.label_bounds,
                 )
             )
         mlp = diag.get("mlp") or {}

@@ -72,11 +72,16 @@ def _footer(fig, epoch: int, model_name: str) -> None:
     fig.text(0.99, 0.01, f"{model_name} — epoch {epoch}", ha="right", fontsize=7, alpha=0.6)
 
 
-def distribution_frame(preds, labels, names, epoch: int, model_name: str = ""):
-    """3-row scatter/residual/error figure for the epoch."""
+def distribution_frame(preds, labels, names, epoch: int, model_name: str = "",
+                       bounds=None):
+    """3-row scatter/residual/error figure for the epoch. ``bounds`` pins
+    the true/pred axes so consecutive GIF frames are comparable (reference
+    `plotter.py:73-100`)."""
     from vit_tpu.viz.viz_utils import multi_output_figure
 
-    fig = multi_output_figure(preds, labels, names, title=f"epoch {epoch}")
+    fig = multi_output_figure(
+        preds, labels, names, title=f"epoch {epoch}", bounds=bounds
+    )
     _footer(fig, epoch, model_name)
     return fig_to_frame(fig)
 

@@ -38,11 +38,17 @@ class RegressionPlotter:
         denormalize: Optional[Callable[[np.ndarray], np.ndarray]] = None,
         model_name: str = "model",
         quick_mode: bool = False,
+        label_bounds: Optional[List[tuple]] = None,
     ) -> None:
         self.param_names = param_names or []
         self.denormalize = denormalize or (lambda y: y)
         self.model_name = model_name
         self.quick_mode = quick_mode
+        # fixed per-output (lo, hi) axis bounds in denormalized units —
+        # reference `plotter.py:73-100` pins these to the original
+        # parameter ranges so reports are comparable across runs; when
+        # None they fall back to the data range + 5% margin
+        self.label_bounds = label_bounds
 
     # -- output routing ---------------------------------------------------
     def _emit(self, fig, name: str, logger=None) -> None:
@@ -74,11 +80,15 @@ class RegressionPlotter:
             for j in range(n_out)
         ]
         metrics = calculate_metrics(preds, labels)
+        from vit_tpu.viz.viz_utils import label_axis_bounds
+
+        bounds = self.label_bounds or label_axis_bounds(labels)
 
         # 1. pred-vs-true scatter grid
         fig, axes = plt.subplots(1, n_out, figsize=(4.5 * n_out, 4.2), squeeze=False)
         for j in range(n_out):
-            plot_scatter_axis(axes[0][j], labels[:, j], preds[:, j], names[j])
+            lim = bounds[j] if j < len(bounds) else None
+            plot_scatter_axis(axes[0][j], labels[:, j], preds[:, j], names[j], lim=lim)
         fig.suptitle(f"{self.model_name}: predictions")
         fig.tight_layout()
         self._emit(fig, "pred_vs_true", logger)
@@ -94,7 +104,10 @@ class RegressionPlotter:
             # 3. |error| vs true
             fig, axes = plt.subplots(1, n_out, figsize=(4.5 * n_out, 3.6), squeeze=False)
             for j in range(n_out):
-                plot_error_vs_true_axis(axes[0][j], labels[:, j], preds[:, j], names[j])
+                plot_error_vs_true_axis(
+                    axes[0][j], labels[:, j], preds[:, j], names[j],
+                    xlim=bounds[j] if j < len(bounds) else None,
+                )
             fig.tight_layout()
             self._emit(fig, "error_vs_true", logger)
 
@@ -140,7 +153,9 @@ class RegressionPlotter:
             self._emit(fig, "qq_residuals", logger)
 
         # 7. comprehensive 3xN summary
-        fig = multi_output_figure(preds, labels, names, title=self.model_name)
+        fig = multi_output_figure(
+            preds, labels, names, title=self.model_name, bounds=bounds
+        )
         self._emit(fig, "summary", logger)
 
         # console percentile table (reference `plotter.py:269-291`)

@@ -18,6 +18,7 @@ __all__ = [
     "plot_scatter_axis",
     "plot_residual_axis",
     "plot_error_vs_true_axis",
+    "label_axis_bounds",
     "multi_output_figure",
 ]
 
@@ -97,7 +98,7 @@ def plot_residual_axis(ax, labels, preds, name: str = "", bins: int = 40) -> Non
     ax.legend(fontsize=7)
 
 
-def plot_error_vs_true_axis(ax, labels, preds, name: str = "") -> None:
+def plot_error_vs_true_axis(ax, labels, preds, name: str = "", xlim=None) -> None:
     err = np.abs(preds - labels)
     ax.scatter(labels, err, s=6, alpha=0.4, edgecolors="none")
     # binned trend
@@ -107,13 +108,44 @@ def plot_error_vs_true_axis(ax, labels, preds, name: str = "") -> None:
     xs = [labels[s].mean() for s in splits if len(s)]
     ys = [err[s].mean() for s in splits if len(s)]
     ax.plot(xs, ys, "r-", lw=1.5, label="binned mean")
+    if xlim is not None:
+        ax.set_xlim(xlim[0], xlim[1])
     ax.set_xlabel(f"true {name}")
     ax.set_ylabel("|error|")
     ax.legend(fontsize=7)
 
 
-def multi_output_figure(preds: np.ndarray, labels: np.ndarray, names: List[str], title: str = ""):
-    """3-row (scatter / residual / error-vs-true) x n-output summary figure."""
+def label_axis_bounds(labels: np.ndarray, label_norm=None, label_min=None,
+                      label_max=None) -> List[tuple]:
+    """Fixed per-output axis bounds so figures/GIF frames are comparable
+    across epochs and runs (reference `plotter.py:73-100`): the ORIGINAL
+    parameter ranges when minmax label stats exist, else the data range
+    with a 5% margin."""
+    labels = np.reshape(np.asarray(labels, np.float64), (len(labels), -1))
+    n = labels.shape[1]
+    if (
+        label_norm == "minmax"
+        and label_min is not None
+        and label_max is not None
+        and np.size(label_min) >= n
+    ):
+        lo = np.ravel(np.asarray(label_min, np.float64))
+        hi = np.ravel(np.asarray(label_max, np.float64))
+        return [(float(lo[j]), float(hi[j])) for j in range(n)]
+    out = []
+    for j in range(n):
+        lo, hi = float(labels[:, j].min()), float(labels[:, j].max())
+        margin = (hi - lo) * 0.05
+        out.append((lo - margin, hi + margin))
+    return out
+
+
+def multi_output_figure(preds: np.ndarray, labels: np.ndarray, names: List[str],
+                        title: str = "", bounds=None):
+    """3-row (scatter / residual / error-vs-true) x n-output summary figure.
+
+    ``bounds`` (per-output (lo, hi)) pins the true/pred axes so frames are
+    comparable across epochs (see :func:`label_axis_bounds`)."""
     import matplotlib
 
     matplotlib.use("Agg")
@@ -125,9 +157,10 @@ def multi_output_figure(preds: np.ndarray, labels: np.ndarray, names: List[str],
     fig, axes = plt.subplots(3, n, figsize=(4.2 * n, 11), squeeze=False)
     for j in range(n):
         name = names[j] if j < len(names) else str(j)
-        plot_scatter_axis(axes[0][j], labels[:, j], preds[:, j], name)
+        lim = bounds[j] if bounds is not None and j < len(bounds) else None
+        plot_scatter_axis(axes[0][j], labels[:, j], preds[:, j], name, lim=lim)
         plot_residual_axis(axes[1][j], labels[:, j], preds[:, j], name)
-        plot_error_vs_true_axis(axes[2][j], labels[:, j], preds[:, j], name)
+        plot_error_vs_true_axis(axes[2][j], labels[:, j], preds[:, j], name, xlim=lim)
     if title:
         fig.suptitle(title, fontsize=11)
     fig.tight_layout()
