@@ -29,6 +29,33 @@ def test_fused_epoch_matches_per_step(tiny_config, tmp_path, monkeypatch):
     assert int(exp_a.state.step) == int(exp_b.state.step)
 
 
+@pytest.mark.parametrize("num_devices", [1, 8])
+def test_gather_modes_bit_equivalent(tiny_config, tmp_path, monkeypatch, num_devices):
+    """train.epoch_gather 'step' (gather-on-read inside the scan) must be
+    bit-identical to 'block' (one stacked gather per epoch) — same rows
+    reach the same steps; only the HBM traffic pattern differs."""
+    monkeypatch.setenv("CKPT_DIR", str(tmp_path / "ckpt"))
+
+    def run(mode):
+        cfg = _cfg(tiny_config, True)
+        cfg["train"] = dict(cfg["train"], epoch_gather=mode)
+        exp = Experiment(cfg, seed=0, num_devices=num_devices)
+        m = exp.fit()
+        return m, np.asarray(exp.state.params["regressor"]["kernel"])
+
+    m_s, k_s = run("step")
+    m_b, k_b = run("block")
+    assert m_s["train_loss"] == pytest.approx(m_b["train_loss"], rel=1e-6)
+    np.testing.assert_allclose(k_s, k_b, rtol=1e-6, atol=1e-7)
+
+
+def test_epoch_gather_rejects_unknown_mode(tiny_config):
+    cfg = _cfg(tiny_config, True)
+    cfg["train"] = dict(cfg["train"], epoch_gather="bogus")
+    with pytest.raises(ValueError, match="epoch_gather"):
+        Experiment(cfg, seed=0, num_devices=1).fit()
+
+
 def test_fused_epoch_data_parallel(tiny_config, tmp_path, monkeypatch):
     """Fused epoch over 8 DP shards: batch axis sharded inside the scan."""
     monkeypatch.setenv("CKPT_DIR", str(tmp_path / "ckpt"))

@@ -192,6 +192,13 @@ class _VmapSweepEngine:
         cfg.setdefault("train", {}).setdefault("save", False)
         cfg.setdefault("project", "vit-opt-sweep")
         (cfg.setdefault("viz", {}))["enable"] = False  # reference `:150-152`
+        if (cfg.get("model", {}) or {}).get("attn_impl") == "ring":
+            # Ring attention shard_maps over the mesh the replicas are
+            # vmapped across; sweep with the numerically-identical xla
+            # kernel instead — the selected LR transfers exactly.
+            print("[sweep] attn_impl: ring -> xla for the vmapped sweep "
+                  "(identical math; the final run trains with ring)")
+            cfg["model"]["attn_impl"] = "xla"
         seed_everything(self.seed)
 
         bundle = get_model(cfg)

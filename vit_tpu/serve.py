@@ -81,6 +81,10 @@ class Predictor:
         from vit_tpu.train.checkpoint import CheckpointManager, default_ckpt_dir
 
         cfg = load_config(config) if isinstance(config, str) else dict(config)
+        if (cfg.get("model", {}) or {}).get("attn_impl") == "ring":
+            # Sequence parallelism is a training-mesh concern; serving runs
+            # the numerically-identical single-host xla kernel.
+            cfg = dict(cfg, model=dict(cfg["model"], attn_impl="xla"))
         bundle = get_model(cfg)
         # enabled=False: read-only — no checkpoint-dir creation side effects
         # at serving time (read_meta does not need an enabled manager).

@@ -256,6 +256,7 @@ def make_train_epoch(
     repl_sharding=None,
     n_epochs: int = 1,
     accum_steps: int = 1,
+    gather_mode: str = "block",
 ) -> Callable:
     """Whole-epoch training as ONE dispatch: ``lax.scan`` over steps.
 
@@ -292,23 +293,51 @@ def make_train_epoch(
 
     one_step = _make_step_body(grads_fn, tx, spec, schedule, has_preproc)
 
+    # per-step batch sharding (the batch_constraint minus its leading steps
+    # axis), for the 'step' gather mode under DP
+    step_constraint = None
+    if batch_constraint is not None:
+        from jax.sharding import NamedSharding as _NS, PartitionSpec as _P
+
+        step_constraint = _NS(
+            batch_constraint.mesh, _P(*tuple(batch_constraint.spec)[1:])
+        )
+
     def run_one_epoch(state, data, perm, val_x):
-        # ONE gather for the whole epoch (cheap, bandwidth-bound), then scan
-        # over the stacked (steps, batch, ...) leading axis — per-step
-        # dynamic gathers inside the scan body are ~4x slower on TPU.
-        epoch_data = {
-            k: jnp.take(v, perm, axis=0).reshape(
-                (steps_per_epoch, batch_size) + v.shape[1:]
-            )
-            for k, v in data.items()
-        }
-        if batch_constraint is not None:
-            # DP: shard each step's batch over the mesh data axis; XLA
-            # inserts the gradient all-reduce inside the scan body.
-            epoch_data = jax.lax.with_sharding_constraint(
-                epoch_data, batch_constraint
-            )
-        state, (losses, lrs) = jax.lax.scan(one_step, state, epoch_data)
+        if gather_mode == "step":
+            # Gather-on-read: each scan step takes only its batch's rows,
+            # fused into the step's compute — the stacked (steps, batch,
+            # ...) epoch array is never materialized (halves the epoch's
+            # permutation traffic: no 164 MB gather-write + re-read on the
+            # baseline workload). Bit-identical to 'block': same rows reach
+            # the same steps.
+            idx = perm.reshape(steps_per_epoch, batch_size)
+
+            def gather_step(st, ib):
+                batch = {k: jnp.take(v, ib, axis=0) for k, v in data.items()}
+                if step_constraint is not None:
+                    batch = jax.lax.with_sharding_constraint(
+                        batch, step_constraint
+                    )
+                return one_step(st, batch)
+
+            state, (losses, lrs) = jax.lax.scan(gather_step, state, idx)
+        else:
+            # ONE gather for the whole epoch, then scan over the stacked
+            # (steps, batch, ...) leading axis.
+            epoch_data = {
+                k: jnp.take(v, perm, axis=0).reshape(
+                    (steps_per_epoch, batch_size) + v.shape[1:]
+                )
+                for k, v in data.items()
+            }
+            if batch_constraint is not None:
+                # DP: shard each step's batch over the mesh data axis; XLA
+                # inserts the gradient all-reduce inside the scan body.
+                epoch_data = jax.lax.with_sharding_constraint(
+                    epoch_data, batch_constraint
+                )
+            state, (losses, lrs) = jax.lax.scan(one_step, state, epoch_data)
         if val_x is None:
             return state, losses, lrs[-1], None
         # Fused validation: forward the (pre-noised) val inputs with the
@@ -816,11 +845,18 @@ class Experiment:
                 has_val
                 and self.datamodule.val.model_input.nbytes < 512 * 1024**2
             )
+            gather_mode = str((self.config.get("train", {}) or {}).get(
+                "epoch_gather", "step") or "step").lower()
+            if gather_mode not in ("step", "block"):
+                raise ValueError(
+                    f"train.epoch_gather must be 'step' or 'block', got "
+                    f"{gather_mode!r}"
+                )
             train_epoch = make_train_epoch(
                 self.bundle, tx, spec, self.noise_level, self.batch_size,
                 steps_per_epoch, self.state_shard, batch_constraint,
                 with_val=fused_val, repl_sharding=self.repl_shard,
-                accum_steps=self.accum_steps,
+                accum_steps=self.accum_steps, gather_mode=gather_mode,
             )
             # Multi-epoch blocks (train.epochs_per_dispatch > 1): N epochs in
             # ONE dispatch, amortizing the host round-trip. Per-epoch val
@@ -839,6 +875,7 @@ class Experiment:
                     steps_per_epoch, self.state_shard, batch_constraint,
                     with_val=fused_val, repl_sharding=self.repl_shard,
                     n_epochs=epd, accum_steps=self.accum_steps,
+                    gather_mode=gather_mode,
                 )
                 if use_blocks
                 else None
