@@ -153,9 +153,13 @@ class MultiHeadSelfAttention(nn.Module):
                     self.make_rng("dropout"), (), 0,
                     jnp.iinfo(jnp.int32).max, dtype=jnp.int32,
                 )
+            # DP-shard the batch only when it divides the data axis — a
+            # module.init trace (batch 1) or an odd eval tail replicates
+            # instead (shapes identical, only the layout differs).
+            n_data = mesh.shape.get("data", 1)
             context = ring_attention(
                 q, k, v, mesh=mesh, axis="model",
-                batch_axis="data" if mesh.shape.get("data", 1) > 1 else None,
+                batch_axis="data" if n_data > 1 and batch % n_data == 0 else None,
                 dropout_rate=self.dropout_rate if dropout_active else 0.0,
                 dropout_seed=seed,
             )
