@@ -294,3 +294,20 @@ def test_early_stop_masks_replicas(sweep_base_config, tmp_path, monkeypatch):
     best = runner.run()
     assert best is not None
     assert "early-stopped" in (best.message or "")
+
+
+def test_sweep_substitutes_xla_for_ring(sweep_base_config, tmp_path, capsys):
+    """attn_impl: ring shard_maps over the mesh the replicas vmap across —
+    the engine sweeps with the numerically identical xla kernel instead."""
+    with open(sweep_base_config) as f:
+        cfg = yaml.safe_load(f)
+    cfg["model"]["attn_impl"] = "ring"
+    path = tmp_path / "ring.yaml"
+    with open(path, "w") as f:
+        yaml.safe_dump(cfg, f)
+    runner = ParallelSweepRunner(
+        str(path), lr_values=[1e-3], results_dir=str(tmp_path / "runs"), seed=0
+    )
+    best = runner.run()
+    assert best is not None and best.metric is not None
+    assert "ring -> xla" in capsys.readouterr().out

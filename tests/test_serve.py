@@ -179,3 +179,14 @@ def test_predict_cli_load_inputs_rejects_unknown_npz(tmp_path):
     ok = tmp_path / "ok.npz"
     np.savez(ok, x=np.zeros((4, 8), np.float32))
     assert mod.load_inputs(str(ok), 2).shape == (2, 8)
+
+
+def test_predictor_substitutes_xla_for_ring(trained):
+    """A ring-trained config serves single-host: the Predictor swaps in the
+    numerically identical xla kernel (params are impl-independent)."""
+    exp, cfg = trained
+    ring_cfg = dict(cfg, model=dict(cfg["model"], attn_impl="ring"))
+    pred = Predictor.from_checkpoint(dict(ring_cfg), ckpt="best", batch_size=16)
+    x = exp.datamodule.val.model_input[:8]
+    out = pred.predict(np.asarray(x))
+    assert np.all(np.isfinite(out))
