@@ -30,10 +30,13 @@ def test_fused_epoch_matches_per_step(tiny_config, tmp_path, monkeypatch):
 
 
 @pytest.mark.parametrize("num_devices", [1, 8])
-def test_gather_modes_bit_equivalent(tiny_config, tmp_path, monkeypatch, num_devices):
-    """train.epoch_gather 'step' (gather-on-read inside the scan) must be
-    bit-identical to 'block' (one stacked gather per epoch) — same rows
-    reach the same steps; only the HBM traffic pattern differs."""
+def test_gather_modes_equivalent(tiny_config, tmp_path, monkeypatch, num_devices):
+    """train.epoch_gather 'step' (gather-on-read inside the scan) vs 'block'
+    (one stacked gather per epoch): the SAME rows reach the SAME steps with
+    bit-identical values, but the two modes compile different XLA programs,
+    so fusion may reorder reductions — measured drift ~1e-8 rel after two
+    epochs (r4; an exact-equality assertion caught this). The contract is
+    data-order equivalence, asserted at well under single-step fp noise."""
     monkeypatch.setenv("CKPT_DIR", str(tmp_path / "ckpt"))
 
     def run(mode):

@@ -134,6 +134,59 @@ def test_model_attention_ring_requires_mesh():
         set_active_mesh(prev)
 
 
+def test_experiment_rejects_ring_with_model_parallel(tmp_path):
+    """attn_impl: ring + train.model_parallel>1 must be rejected up front:
+    the ring would silently shard the sequence over the TP-sized 'model'
+    axis (ADVICE r3)."""
+    from vit_tpu.train.loop import Experiment
+
+    cfg = {
+        "project": "vit-tpu-test",
+        "model": {
+            "name": "vit", "task_type": "reg", "image_size": 480,
+            "patch_size": 32, "hidden_size": 32, "num_hidden_layers": 1,
+            "num_attention_heads": 2, "stride_size": 32, "proj_fn": "SW",
+            "attn_impl": "ring",
+        },
+        "train": {"batch_size": 16, "ep": 1, "save": False,
+                  "model_parallel": 2},
+        "loss": {"name": "mae"},
+        "opt": {"type": "AdamW", "lr": 1e-3},
+        "data": {"param": "log_g"},
+    }
+    with pytest.raises(ValueError, match="model_parallel"):
+        Experiment(cfg)
+
+
+def test_active_mesh_cleared_after_fit(tmp_path):
+    """Experiment.fit scopes the active mesh — nothing leaks after it
+    returns (ADVICE r3: stale-mesh traces)."""
+    from vit_tpu.data.synthetic import write_dummy_h5
+    from vit_tpu.parallel.mesh import active_mesh, set_active_mesh
+    from vit_tpu.train.loop import Experiment
+
+    h5 = str(tmp_path / "mesh_scope.h5")
+    write_dummy_h5(h5, n=32, length=480, seed=0)
+    cfg = {
+        "project": "vit-tpu-test",
+        "model": {
+            "name": "vit", "task_type": "reg", "image_size": 480,
+            "patch_size": 32, "hidden_size": 32, "num_hidden_layers": 1,
+            "num_attention_heads": 2, "stride_size": 32, "proj_fn": "SW",
+        },
+        "train": {"batch_size": 16, "ep": 1, "save": False},
+        "loss": {"name": "mae"},
+        "opt": {"type": "AdamW", "lr": 1e-3, "lr_sch": "none"},
+        "data": {"file_path": h5, "val_path": h5, "num_samples": 32,
+                 "param": "log_g", "label_norm": "minmax"},
+        "noise": {"noise_level": 0},
+        "viz": {"enable": False},
+    }
+    set_active_mesh(None)
+    Experiment(cfg).fit()
+    assert active_mesh() is None
+
+
 def test_experiment_trains_with_ring_attention(tmp_path):
     """End-to-end: a config trains with model.attn_impl: ring +
     train.sequence_parallel on the 8-device mesh, and (dropout/noise off)

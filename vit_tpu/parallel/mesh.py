@@ -15,6 +15,7 @@ the mesh then spans all hosts' devices (ICI within a slice, DCN across).
 
 from __future__ import annotations
 
+import contextlib
 import os
 from typing import Optional, Sequence
 
@@ -30,6 +31,7 @@ __all__ = [
     "num_data_shards",
     "set_active_mesh",
     "active_mesh",
+    "active_mesh_scope",
 ]
 
 # The mesh the current Experiment (or test) is training under. Flax modules
@@ -47,6 +49,22 @@ def set_active_mesh(mesh: Optional[Mesh]) -> None:
 
 def active_mesh() -> Optional[Mesh]:
     return _ACTIVE_MESH
+
+
+@contextlib.contextmanager
+def active_mesh_scope(mesh: Optional[Mesh]):
+    """Scope the active mesh to a block, restoring the previous value.
+
+    ``Experiment.fit``/``test`` use this so a finished run cannot leak its
+    mesh into later traces; library users wrapping manual step-building
+    code get the same lifetime discipline.
+    """
+    prev = active_mesh()
+    set_active_mesh(mesh)
+    try:
+        yield mesh
+    finally:
+        set_active_mesh(prev)
 
 
 def maybe_initialize_distributed() -> None:

@@ -27,6 +27,7 @@ reference's ``'ddp'`` with zero hand-written communication.
 
 from __future__ import annotations
 
+import functools
 import math
 import os
 import time
@@ -42,6 +43,7 @@ from vit_tpu.data.pipeline import Batcher, epoch_permutation, prefetch_to_device
 from vit_tpu.models.builder import ModelBundle, get_model
 from vit_tpu.models.vit import compute_loss
 from vit_tpu.parallel.mesh import (
+    active_mesh_scope,
     batch_sharding,
     make_mesh,
     maybe_initialize_distributed,
@@ -178,7 +180,8 @@ def _make_grads_fn(bundle: ModelBundle, noise_level: float, accum_steps: int = 1
 
 def _make_step_body(grads_fn, tx, spec, schedule, has_preproc):
     """The ONE training-step semantics shared by the per-step and fused-epoch
-    paths (their bit-equivalence is a package invariant, CLAUDE.md):
+    paths (their equivalence — same data, same update math, identical to
+    well under fp-noise — is a package invariant, CLAUDE.md):
     ``(state, batch) -> (new_state, (loss, lr))``."""
 
     def step_body(state: TrainState, batch):
@@ -309,8 +312,10 @@ def make_train_epoch(
             # fused into the step's compute — the stacked (steps, batch,
             # ...) epoch array is never materialized (halves the epoch's
             # permutation traffic: no 164 MB gather-write + re-read on the
-            # baseline workload). Bit-identical to 'block': same rows reach
-            # the same steps.
+            # baseline workload). Same rows reach the same steps with
+            # bit-identical values; the two modes compile different XLA
+            # programs, so fusion may reorder reductions (~1e-8 rel drift
+            # measured — tests/test_fused_epoch.py).
             idx = perm.reshape(steps_per_epoch, batch_size)
 
             def gather_step(st, ib):
@@ -450,6 +455,23 @@ def _host_loss(logits: np.ndarray, labels: np.ndarray, task: str, loss_name: str
     return float((diff**2).mean())
 
 
+def _with_mesh(method):
+    """Scope the process-global active mesh to this Experiment entry point.
+
+    Traces inside (ring attention) see ``self.mesh``; on exit the previous
+    value is restored, so a finished run can't leak its mesh into later
+    library traces (``__init__`` still sets it once for pre-``fit`` direct
+    uses like ``scripts/convert.py``'s ``_init_state``).
+    """
+
+    @functools.wraps(method)
+    def wrapper(self, *args, **kwargs):
+        with active_mesh_scope(self.mesh):
+            return method(self, *args, **kwargs)
+
+    return wrapper
+
+
 class Experiment:
     """Facade: build model + data + optimizer, then ``fit`` / ``test``.
 
@@ -529,6 +551,15 @@ class Experiment:
                 "train.model_parallel and train.sequence_parallel both split "
                 "the 'model' mesh axis — set at most one of them"
             )
+        if tp > 1 and self.bundle.vit_config.attn_impl == "ring":
+            # The ring kernel shards the SEQUENCE over whatever sized the
+            # 'model' axis; under TP it would silently reshard TP-sharded
+            # QKV every layer and blame train.sequence_parallel in errors.
+            raise ValueError(
+                "model.attn_impl: ring shards the sequence over the 'model' "
+                "mesh axis and cannot compose with train.model_parallel > 1; "
+                "use train.sequence_parallel instead"
+            )
         axis_split = max(tp, self.sp)
         if self.sp > 1 and self.bundle.vit_config.attn_impl != "ring":
             print(
@@ -545,9 +576,9 @@ class Experiment:
             self.mesh = make_mesh(
                 num_devices=data_par * axis_split, model_parallel=axis_split
             )
-        from vit_tpu.parallel.mesh import set_active_mesh
-
-        set_active_mesh(self.mesh)  # ring attention reads it at trace time
+        # The active mesh (ring attention reads it at trace time) is scoped
+        # to the tracing entry points via @_with_mesh — never left set after
+        # a run completes.
         self.batch_shard = batch_sharding(self.mesh)
         self.repl_shard = replicated_sharding(self.mesh)
 
@@ -573,6 +604,7 @@ class Experiment:
         self.callback_metrics: Dict[str, float] = {}
 
     # -- construction helpers -------------------------------------------
+    @_with_mesh
     def _init_state(self, tx) -> TrainState:
         cfg = self.bundle.vit_config
         rng = jax.random.PRNGKey(self.seed)
@@ -743,7 +775,10 @@ class Experiment:
         # flux/error are never read, so transferring them would be ~3x the
         # needed bytes every diagnostics epoch.
         all_arrays = dataset.arrays()
-        labels_host = _np.asarray(all_arrays["label"][:n])
+        # arrays() omits 'label' for label-less datasets — diagnostics then
+        # carry logits only (None labels), matching the old arrays.get path.
+        labels = all_arrays.get("label")
+        labels_host = _np.asarray(labels[:n]) if labels is not None else None
         batch = jax.device_put(
             {"x": all_arrays["x"][:n]},
             self.batch_shard
@@ -775,6 +810,7 @@ class Experiment:
         return self._metrics_from_arrays(logits, labels, prefix)
 
     # -- fit ---------------------------------------------------------------
+    @_with_mesh
     def fit(self) -> Dict[str, float]:
         self.datamodule.setup("fit")
         train_ds = self.datamodule.train
@@ -1224,6 +1260,7 @@ class Experiment:
         return epoch_metrics
 
     # -- test ----------------------------------------------------------------
+    @_with_mesh
     def test(self, ckpt: Optional[str] = None) -> Dict[str, float]:
         self.datamodule.setup("test")
         if self.state is None:
