@@ -311,3 +311,59 @@ def test_sweep_substitutes_xla_for_ring(sweep_base_config, tmp_path, capsys):
     best = runner.run()
     assert best is not None and best.metric is not None
     assert "ring -> xla" in capsys.readouterr().out
+
+
+def test_per_replica_shuffles(sweep_base_config, tmp_path, monkeypatch):
+    """Each replica shuffles with its OWN seed+idx stream (reference
+    parallel_sweep.py:155 `seed_everything(seed+idx)`): two replicas at
+    the SAME lr but different idx must gather different batch orders,
+    and the sweep must stay reproducible run-to-run."""
+    import numpy as np
+
+    import vit_tpu.data.pipeline as pipeline
+
+    seen = []
+    orig = pipeline.epoch_permutation
+
+    def spy(n, batch_size, steps, seed, epoch):
+        out = orig(n, batch_size, steps, seed, epoch)
+        seen.append((seed, epoch, out.copy()))
+        return out
+
+    monkeypatch.setattr(pipeline, "epoch_permutation", spy)
+
+    def run_once(results_dir):
+        # same lr twice -> idx 0 and idx 1 isolate the data-order stream
+        runner = ParallelSweepRunner(
+            sweep_base_config,
+            lr_values=[1e-3, 1e-3],
+            schedulers=["none"],
+            results_dir=results_dir,
+            seed=0,
+        )
+        runner.run()
+        with open(runner.summary_path) as f:
+            return yaml.safe_load(f)
+
+    summary = run_once(str(tmp_path / "a"))
+
+    # engine asked for one permutation per (replica, epoch), seeded seed+idx
+    by_epoch = {}
+    for seed, epoch, perm in seen:
+        by_epoch.setdefault(epoch, []).append((seed, perm))
+    assert set(by_epoch) == {0, 1}  # ep=2
+    for epoch, entries in by_epoch.items():
+        seeds = [s for s, _ in entries]
+        assert seeds == [0, 1], f"epoch {epoch}: expected per-idx seeds, got {seeds}"
+        p0, p1 = entries[0][1], entries[1][1]
+        assert not np.array_equal(p0, p1), "replicas saw the same batch order"
+
+    # same-lr replicas actually train differently (order + init both per-idx)
+    metrics = [r["metric"] for r in summary["results"] if r["status"] == "ok"]
+    assert len(metrics) == 2 and metrics[0] != metrics[1]
+
+    # and the whole sweep reproduces bit-for-bit across runs
+    summary2 = run_once(str(tmp_path / "b"))
+    assert [r["metric"] for r in summary2["results"]] == [
+        r["metric"] for r in summary["results"]
+    ]

@@ -31,8 +31,11 @@ kept (reference `parallel_sweep.py:193-209`); ``duration_sec`` is the
 per-replica wall-clock from sweep start until that replica stopped
 (early-stop/divergence) or the sweep ended; best = the replica's last
 computed metric (the reference reads ``trainer.callback_metrics`` after
-fit). Shared across replicas (documented delta): the data order — one
-shuffle stream feeds all replicas instead of per-trial shuffles.
+fit); data order = per-replica shuffle streams seeded ``seed + idx``
+(reference `parallel_sweep.py:155` ``seed_everything(seed + idx)`` gives
+each trial an independent shuffle) — each replica gathers its own
+permutation on-read inside its scan, so no stacked per-replica epoch
+array is ever materialized.
 """
 
 from __future__ import annotations
@@ -194,10 +197,15 @@ class _VmapSweepEngine:
         (cfg.setdefault("viz", {}))["enable"] = False  # reference `:150-152`
         if (cfg.get("model", {}) or {}).get("attn_impl") == "ring":
             # Ring attention shard_maps over the mesh the replicas are
-            # vmapped across; sweep with the numerically-identical xla
-            # kernel instead — the selected LR transfers exactly.
+            # vmapped across; sweep with the xla kernel instead. The two
+            # are deterministically identical (tests/test_ring_attention.py),
+            # but with attention dropout active the mask STREAMS differ
+            # (in-ring global hash offsets vs HashDropout coords), so swept
+            # dynamics are statistically — not bit — equivalent to the
+            # final ring run.
             print("[sweep] attn_impl: ring -> xla for the vmapped sweep "
-                  "(identical math; the final run trains with ring)")
+                  "(identical math deterministically; dropout mask streams "
+                  "differ; the final run trains with ring)")
             cfg["model"]["attn_impl"] = "xla"
         seed_everything(self.seed)
 
@@ -311,34 +319,37 @@ class _VmapSweepEngine:
                 loss,
             )
 
-        def replica_epoch(state: TrainState, epoch_data, lr, active):
-            """One replica's whole epoch: lax.scan over the stacked steps.
+        def replica_epoch(state: TrainState, data, perm, lr, active):
+            """One replica's whole epoch: lax.scan over its OWN batch order.
+
+            ``perm`` is this replica's flat index vector (seeded
+            ``seed + idx + epoch`` — per-trial shuffles, reference
+            `parallel_sweep.py:155`); each step gathers its 64 rows
+            on-read so the stacked (steps, batch, ...) epoch array is
+            never materialized (the same gather-on-read the fused epoch
+            uses, loop.py::make_train_epoch).
 
             ``active`` (0/1) freezes early-stopped/diverged replicas: the
             epoch runs (vmap has no per-lane skip) but the state is held —
             the reference analogue is a finished trial idling its process.
             """
+            idx = perm.reshape(steps_per_epoch, batch_size)
 
-            def body(st, batch):
+            def body(st, ib):
+                batch = {k: jnp.take(v, ib, axis=0) for k, v in data.items()}
                 new_st, loss = one_step(st, batch, lr)
                 held = jax.tree_util.tree_map(
                     lambda n, o: jnp.where(active > 0, n, o), new_st, st
                 )
                 return held, loss
 
-            state, losses = jax.lax.scan(body, state, epoch_data)
+            state, losses = jax.lax.scan(body, state, idx)
             return state, losses
 
-        def all_replicas_epoch(state, data, perm, lrs, active):
-            # One gather for the epoch, shared by every replica.
-            epoch_data = {
-                k: jnp.take(v, perm, axis=0).reshape(
-                    (steps_per_epoch, batch_size) + v.shape[1:]
-                )
-                for k, v in data.items()
-            }
-            return jax.vmap(replica_epoch, in_axes=(0, None, 0, 0))(
-                state, epoch_data, lrs, active
+        def all_replicas_epoch(state, data, perm_r, lrs, active):
+            # perm_r: (R, steps*batch) — one independent shuffle per replica.
+            return jax.vmap(replica_epoch, in_axes=(0, None, 0, 0, 0))(
+                state, data, perm_r, lrs, active
             )
 
         # The whole grid trains one full epoch in ONE dispatch: vmap over
@@ -347,7 +358,7 @@ class _VmapSweepEngine:
         vepoch = jax.jit(
             all_replicas_epoch,
             donate_argnums=(0,),
-            in_shardings=(rep_shard, repl, repl, rep_shard, rep_shard),
+            in_shardings=(rep_shard, repl, rep_shard, rep_shard, rep_shard),
             out_shardings=(rep_shard, rep_shard),
         )
         veval = jax.jit(
@@ -429,9 +440,13 @@ class _VmapSweepEngine:
         try:
             for epoch in range(max_epochs):
                 perm = jax.device_put(
-                    epoch_permutation(n_train, batch_size, steps_per_epoch,
-                                      self.seed, epoch),
-                    repl,
+                    np.stack([
+                        epoch_permutation(n_train, batch_size,
+                                          steps_per_epoch,
+                                          self.seed + c.idx, epoch)
+                        for c in self.configs
+                    ]),
+                    rep_shard,
                 )
                 lrs = jax.device_put(jnp.asarray(epoch_lrs(epoch)), rep_shard)
                 active_dev = jax.device_put(jnp.asarray(active), rep_shard)
