@@ -226,3 +226,119 @@ def test_experiment_trains_with_ring_attention(tmp_path):
     # identical update trajectory up to fp reduction order (online softmax
     # vs one-shot softmax), accumulated over 2 epochs of training
     assert m_ring["val_mae"] == pytest.approx(m_xla["val_mae"], rel=1e-3)
+
+
+# ---------------------------------------------------------------------------
+# Blockwise inner loop (O(Tl * block_k) memory — VERDICT r3 item 6)
+# ---------------------------------------------------------------------------
+def test_ring_blockwise_matches_single_block(mesh8):
+    """block_k < T_local (flash-style inner loop) must be numerically
+    equivalent to the whole-shard path — block decomposition is an
+    implementation detail."""
+    rng = np.random.default_rng(6)
+    q, k, v = (jnp.asarray(rng.standard_normal((1, 2, 512, 16)), jnp.float32)
+               for _ in range(3))
+    whole = ring_attention(q, k, v, mesh=mesh8, axis="data")
+    blocked = ring_attention(q, k, v, mesh=mesh8, axis="data", block_k=16)
+    np.testing.assert_allclose(
+        np.asarray(blocked), np.asarray(whole), atol=2e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(blocked), np.asarray(_ref(q, k, v)), atol=2e-5
+    )
+
+
+def test_ring_blockwise_gradients_match_reference(mesh8):
+    rng = np.random.default_rng(7)
+    shape = (1, 2, 256, 16)
+    q, k, v = (jnp.asarray(rng.standard_normal(shape), jnp.float32) for _ in range(3))
+
+    g1 = jax.grad(
+        lambda q, k, v: (
+            ring_attention(q, k, v, mesh=mesh8, block_k=8) ** 2
+        ).sum(),
+        argnums=(0, 1, 2),
+    )(q, k, v)
+    g2 = jax.grad(lambda q, k, v: (_ref(q, k, v) ** 2).sum(), argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(g1, g2):
+        rel = float(jnp.abs(a - b).max() / (jnp.abs(b).max() + 1e-9))
+        assert rel < 1e-4, rel
+
+
+def test_ring_blockwise_dropout_matches_global_mask(mesh8):
+    """The hash mask uses GLOBAL coordinates, so the inner block split must
+    not change the mask stream either — fwd AND bwd."""
+    from vit_tpu.ops.dropout import hash_keep_mask
+
+    rng = np.random.default_rng(8)
+    b, h, t, d = shape = (2, 2, 128, 16)
+    rate, seed = 0.3, 998
+    q, k, v = (jnp.asarray(rng.standard_normal(shape), jnp.float32) for _ in range(3))
+
+    def loss(q, k, v, block_k):
+        return (
+            ring_attention(
+                q, k, v, mesh=mesh8, axis="data", dropout_rate=rate,
+                dropout_seed=seed, block_k=block_k,
+            ) ** 2
+        ).sum()
+
+    out = ring_attention(
+        q, k, v, mesh=mesh8, axis="data", dropout_rate=rate,
+        dropout_seed=seed, block_k=4,
+    )
+    s = jnp.einsum("bhqd,bhkd->bhqk", q, k) * (d**-0.5)
+    p = jax.nn.softmax(s, axis=-1)
+    keep = hash_keep_mask((b, h, t, t), rate, seed)
+    ref = jnp.einsum("bhqk,bhkd->bhqd", p * keep, v)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+    g_blk = jax.grad(loss, argnums=(0, 1, 2))(q, k, v, 4)
+    g_whole = jax.grad(loss, argnums=(0, 1, 2))(q, k, v, None)
+    for a, b_ in zip(g_blk, g_whole):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=2e-5)
+
+
+def _iter_eqns(jaxpr):
+    for eqn in jaxpr.eqns:
+        yield eqn
+        for val in eqn.params.values():
+            for v in val if isinstance(val, (list, tuple)) else [val]:
+                inner = getattr(v, "jaxpr", v)
+                if hasattr(inner, "eqns"):
+                    yield from _iter_eqns(inner)
+
+
+def test_ring_blockwise_never_materializes_shard_scores(mesh8):
+    """Memory accounting (VERDICT r3 item 6 'Done' clause): with the
+    blockwise inner path, NO value in the fwd+bwd jaxpr — transient or
+    residual, at any nesting depth — reaches the (B, H, Tl, Tl) score-block
+    size. Residents per ring step are O(Tl*d) (the custom-VJP residuals are
+    exactly q/k/v/o/lse), transients O(Tl*block_k)."""
+    b, h, t, d = 1, 2, 2048, 16
+    n = 8
+    t_local = t // n
+    block_k = 64
+    q = jnp.zeros((b, h, t, d), jnp.float32)
+
+    def loss(q, k, v):
+        return (
+            ring_attention(q, k, v, mesh=mesh8, axis="data", block_k=block_k)
+            ** 2
+        ).sum()
+
+    jaxpr = jax.make_jaxpr(jax.grad(loss, argnums=(0, 1, 2)))(q, q, q)
+    # Global arrays (b*h*t*d = 65536) and per-device blocks
+    # (b*h*t_local*block_k = 32768) are both well under the score-block size
+    # b*h*t_local^2 = 131072 this test guards against.
+    score_elems = b * h * t_local * t_local
+    biggest = 0
+    for eqn in _iter_eqns(jaxpr.jaxpr):
+        for var in list(eqn.outvars) + list(eqn.invars):
+            aval = getattr(var, "aval", None)
+            if aval is not None and getattr(aval, "shape", None) is not None:
+                biggest = max(biggest, int(np.prod(aval.shape, dtype=np.int64)))
+    assert biggest < score_elems, (
+        f"largest array in fwd+bwd jaxpr has {biggest} elements — the "
+        f"(Tl, Tl) score block ({score_elems}) materialized somewhere"
+    )
