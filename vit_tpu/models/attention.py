@@ -85,6 +85,7 @@ class MultiHeadSelfAttention(nn.Module):
     dtype: jnp.dtype = jnp.float32
     qkv_bias: bool = True
     fast_dropout: bool = True  # counter-based masks (vit_tpu.ops.dropout)
+    ring_block_k: Optional[int] = None  # inner key-block width (ring impl)
 
     @nn.compact
     def __call__(
@@ -162,6 +163,7 @@ class MultiHeadSelfAttention(nn.Module):
                 batch_axis="data" if n_data > 1 and batch % n_data == 0 else None,
                 dropout_rate=self.dropout_rate if dropout_active else 0.0,
                 dropout_seed=seed,
+                block_k=self.ring_block_k,
             )
         elif impl == "flash" and not capture_probs:
             from vit_tpu.ops.flash_attention import flash_attention

@@ -89,8 +89,15 @@ class VitConfig:
     rope_base: float = 10000.0
     input_kind: str = "spectra"  # 'spectra' (1-D) | 'image' (2-D)
     attn_impl: str = "auto"  # 'xla' | 'flash' | 'auto' | 'ring' (seq-parallel)
+    # Inner key-block width for attn_impl: ring (None = min(512, T_local)):
+    # peak per-device transient memory is O(T_local * ring_block_k).
+    ring_block_k: Optional[int] = None
     precision: str = "float32"  # compute dtype name
     remat: bool = False
+    # tanh-approximate GELU instead of exact erf. Off by default (HF/torch
+    # ViT parity is exact erf); measured on v5e B/16 as a VPU-side saving —
+    # see BASELINE.md round-4 rows before enabling for training runs.
+    gelu_approximate: bool = False
     # Counter-based dropout masks (vit_tpu.ops.dropout): ~10% faster epochs
     # on the dispatch-bound baseline; different RNG stream than nn.Dropout
     # (semantic parity). Set model.fast_dropout: false for threefry/rbg.
@@ -222,9 +229,13 @@ def get_vit_config(config: dict) -> VitConfig:
         rope_base=float(m.get("rope_base", 10000.0)),
         input_kind=m.get("input_kind", "spectra"),
         attn_impl=m.get("attn_impl", "auto"),
+        ring_block_k=(
+            int(m["ring_block_k"]) if m.get("ring_block_k") else None
+        ),
         precision=str(t.get("precision", "float32")),
         remat=bool(m.get("remat", False)),
         fast_dropout=bool(m.get("fast_dropout", True)),
+        gelu_approximate=bool(m.get("gelu_approximate", False)),
         fused_mlp=bool(m.get("fused_mlp", False)),
     )
 

@@ -214,6 +214,7 @@ class ViTLayer(nn.Module):
             dtype=cfg.dtype,
             qkv_bias=cfg.qkv_bias,
             fast_dropout=getattr(cfg, "fast_dropout", True),
+            ring_block_k=getattr(cfg, "ring_block_k", None),
             name="attention",
         )
         x = x + attn(h, deterministic=deterministic, capture_probs=capture)
@@ -241,7 +242,9 @@ class ViTLayer(nn.Module):
             h = nn.Dense(
                 cfg.intermediate_size, dtype=cfg.dtype, kernel_init=KERNEL_INIT, name="intermediate"
             )(h)
-            h = nn.gelu(h, approximate=False)
+            h = nn.gelu(
+                h, approximate=getattr(cfg, "gelu_approximate", False)
+            )
             if capture:
                 self.sow("intermediates", "mlp_activation", h)
             h = nn.Dense(

@@ -56,6 +56,9 @@ __all__ = ["flash_attention", "hash_dropout_mask"]
 
 NEG_INF = -1e30
 _STAT_LANES = 128  # lane width for per-row softmax statistics in VMEM
+# Padded lengths up to this take the single-block fused path (whole sequence
+# in VMEM, a block of heads per program) instead of the streaming kernels.
+_SHORT_T_MAX = 512
 
 # Knuth/Murmur multiplicative constants for the counter-based dropout hash.
 _H_ROW = 0x9E3779B1
@@ -147,6 +150,204 @@ def _block_mask(qi, kj, block_q, block_k, bh, seed, rate: float):
     bits = _hash_bits(rows, cols, bh, seed)
     keep = 1.0 - float(rate)
     return jnp.where(bits < _keep_threshold(rate), 1.0 / keep, 0.0).astype(jnp.float32)
+
+
+# ---------------------------------------------------------------------------
+# short-sequence fused path (single k-block, batched heads per program)
+# ---------------------------------------------------------------------------
+# For short sequences (T <= _SHORT_T_MAX after padding) the streaming-block
+# design is the WRONG shape: a grid of B*H tiny per-head programs pays more
+# per-program overhead than the matmuls it fuses (measured: ViT-B/16 T=197
+# flash 100.6 ms/step vs XLA 75.7). But XLA is bandwidth-bound here — the
+# (B, H, T, T) probability tensors cost O(T^2) HBM traffic against only
+# d<=128 contraction FLOPs (measured 16-21 TFLOP/s at ~650 GB/s on v5e, i.e.
+# at the HBM roofline). So instead: each program holds a BLOCK OF HEADS and
+# computes their FULL softmax attention with batched dot_generals — the
+# whole (blk, T, T) probability block lives and dies in VMEM, one program
+# per blk heads instead of one per (head, q-block, k-block).
+
+
+def _bh_block(bh: int, limit: int = 8) -> int:
+    """Heads per program: largest divisor of ``bh`` <= limit (VMEM budget)."""
+    blk = min(limit, bh)
+    while bh % blk:
+        blk -= 1
+    return blk
+
+
+def _bdot(a, b, contract_a: int, contract_b: int):
+    """Batched (leading-dim) dot_general in fp32."""
+    return jax.lax.dot_general(
+        a, b, (((contract_a,), (contract_b,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )
+
+
+def _block3_mask(bh0, blk: int, t: int, seed, rate: float):
+    """(blk, t, t) keep-mask for heads [bh0, bh0+blk) — same stream as the
+    streaming kernels' :func:`_block_mask` (mask is block-decomposition
+    independent)."""
+    rows = jax.lax.broadcasted_iota(jnp.int32, (blk, t, t), 1)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (blk, t, t), 2)
+    bh = bh0 + jax.lax.broadcasted_iota(jnp.int32, (blk, t, t), 0)
+    bits = _hash_bits(rows, cols, bh, seed)
+    keep = 1.0 - float(rate)
+    return jnp.where(bits < _keep_threshold(rate), 1.0 / keep, 0.0).astype(
+        jnp.float32
+    )
+
+
+def _short_fwd_kernel(
+    seed_ref, q_ref, k_ref, v_ref, o_ref, lse_ref,
+    *, scale: float, seq_len: int, dropout_rate: float,
+):
+    blk = q_ref.shape[0]
+    t = q_ref.shape[1]
+    bh0 = pl.program_id(0) * blk
+    q = q_ref[...] * jnp.asarray(scale, q_ref.dtype)
+    s = _bdot(q, k_ref[...], 2, 2)  # (blk, T, T) fp32 — VMEM only
+    key_idx = jax.lax.broadcasted_iota(jnp.int32, s.shape, 2)
+    s = jnp.where(key_idx < seq_len, s, NEG_INF)
+    m = jnp.max(s, axis=-1, keepdims=True)
+    p = jnp.exp(s - m)
+    l = jnp.sum(p, axis=-1, keepdims=True)
+    lse_ref[...] = m + jnp.log(l)
+    if dropout_rate > 0.0:
+        p = p * _block3_mask(bh0, blk, t, seed_ref[0], dropout_rate)
+    o = _bdot(p.astype(v_ref.dtype), v_ref[...], 2, 1)
+    o_ref[...] = (o / l).astype(o_ref.dtype)
+
+
+def _short_bwd_kernel(
+    seed_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+    dq_ref, dk_ref, dv_ref,
+    *, scale: float, seq_len: int, dropout_rate: float,
+):
+    """One program: dQ, dK, dV for a block of heads (5 batched matmuls)."""
+    blk = q_ref.shape[0]
+    t = q_ref.shape[1]
+    bh0 = pl.program_id(0) * blk
+    qs = q_ref[...] * jnp.asarray(scale, q_ref.dtype)
+    k = k_ref[...]
+    v = v_ref[...]
+    do = do_ref[...]
+    s = _bdot(qs, k, 2, 2)
+    key_idx = jax.lax.broadcasted_iota(jnp.int32, s.shape, 2)
+    s = jnp.where(key_idx < seq_len, s, NEG_INF)
+    p = jnp.exp(s - lse_ref[...])  # (blk, T, T)
+    if dropout_rate > 0.0:
+        mask = _block3_mask(bh0, blk, t, seed_ref[0], dropout_rate)
+        p_m = p * mask
+    else:
+        p_m = p
+    # dV = Ptil^T dO   (contract over query rows)
+    dv_ref[...] = _bdot(p_m.astype(do.dtype), do, 1, 1).astype(dv_ref.dtype)
+    dp = _bdot(do, v, 2, 2)  # (blk, Tq, Tk)
+    if dropout_rate > 0.0:
+        dp = dp * mask
+    ds = p * (dp - delta_ref[...])
+    dq_ref[...] = (
+        _bdot(ds.astype(k.dtype), k, 2, 1) * scale
+    ).astype(dq_ref.dtype)
+    # dK = ds^T (q*scale): qs already carries the scale factor.
+    dk_ref[...] = _bdot(ds.astype(qs.dtype), qs, 1, 1).astype(dk_ref.dtype)
+
+
+def _short_fwd(q, k, v, seed, scale, seq_len, dropout_rate, interpret=False):
+    bh, t_pad, d = q.shape
+    blk = _bh_block(bh)
+    kernel = functools.partial(
+        _short_fwd_kernel, scale=scale, seq_len=seq_len,
+        dropout_rate=dropout_rate,
+    )
+    blkspec = pl.BlockSpec((blk, t_pad, d), lambda i: (i, 0, 0),
+                           memory_space=pltpu.VMEM)
+    rowspec = pl.BlockSpec((blk, t_pad, 1), lambda i: (i, 0, 0),
+                           memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kernel,
+        grid=(bh // blk,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM), blkspec, blkspec,
+                  blkspec],
+        out_specs=(blkspec, rowspec),
+        out_shape=(
+            jax.ShapeDtypeStruct((bh, t_pad, d), q.dtype),
+            jax.ShapeDtypeStruct((bh, t_pad, 1), jnp.float32),
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=int(100 * 1024 * 1024)
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * bh * t_pad * t_pad * d,
+            bytes_accessed=4 * bh * t_pad * d * q.dtype.itemsize,
+            transcendentals=bh * t_pad * t_pad,
+        ),
+        interpret=interpret,
+    )(seed, q, k, v)
+
+
+def _short_bwd(q, k, v, o, lse, do, seed, scale, seq_len, dropout_rate,
+               interpret=False):
+    bh, t_pad, d = q.shape
+    delta = jnp.sum(
+        do.astype(jnp.float32) * o.astype(jnp.float32), axis=-1, keepdims=True
+    )
+    # 3-4 (blk, T, T) fp32 VMEM temporaries live at once in the backward.
+    blk = _bh_block(bh, limit=8 if t_pad <= 256 else 4)
+    kernel = functools.partial(
+        _short_bwd_kernel, scale=scale, seq_len=seq_len,
+        dropout_rate=dropout_rate,
+    )
+    blkspec = pl.BlockSpec((blk, t_pad, d), lambda i: (i, 0, 0),
+                           memory_space=pltpu.VMEM)
+    rowspec = pl.BlockSpec((blk, t_pad, 1), lambda i: (i, 0, 0),
+                           memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kernel,
+        grid=(bh // blk,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM), blkspec, blkspec,
+                  blkspec, blkspec, rowspec, rowspec],
+        out_specs=(blkspec, blkspec, blkspec),
+        out_shape=(
+            jax.ShapeDtypeStruct((bh, t_pad, d), q.dtype),
+            jax.ShapeDtypeStruct((bh, t_pad, d), k.dtype),
+            jax.ShapeDtypeStruct((bh, t_pad, d), v.dtype),
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=int(100 * 1024 * 1024)
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=10 * bh * t_pad * t_pad * d,
+            bytes_accessed=8 * bh * t_pad * d * q.dtype.itemsize,
+            transcendentals=bh * t_pad * t_pad,
+        ),
+        interpret=interpret,
+    )(seed, q, k, v, do, lse, delta)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+def _short_attention_core(q, k, v, seed, params):
+    scale, seq_len, interpret, rate = params
+    o, _ = _short_fwd(q, k, v, seed, scale, seq_len, rate, interpret)
+    return o
+
+
+def _short_core_fwd(q, k, v, seed, params):
+    scale, seq_len, interpret, rate = params
+    o, lse = _short_fwd(q, k, v, seed, scale, seq_len, rate, interpret)
+    return o, (q, k, v, seed, o, lse)
+
+
+def _short_core_bwd(params, res, g):
+    scale, seq_len, interpret, rate = params
+    q, k, v, seed, o, lse = res
+    dq, dk, dv = _short_bwd(
+        q, k, v, o, lse, g, seed, scale, seq_len, rate, interpret
+    )
+    return dq, dk, dv, np.zeros(seed.shape, dtype=jax.dtypes.float0)
+
+
+_short_attention_core.defvjp(_short_core_fwd, _short_core_bwd)
 
 
 # ---------------------------------------------------------------------------
@@ -536,8 +737,17 @@ def flash_attention(
         x = x.reshape(b * h, t, d)
         return jnp.pad(x, ((0, 0), (0, t_pad - t), (0, d_pad - d)))
 
-    out = _flash_attention_core(
-        prep(q), prep(k), prep(v), seed_arr,
-        (block_q, block_k, scale, t, interpret, rate),
-    )
+    if t_pad <= _SHORT_T_MAX:
+        # Short sequences: one program per head-block computes the full
+        # softmax in VMEM — no (B, H, T, T) HBM traffic, no per-(head,
+        # block, block) program overhead (see "short-sequence fused path").
+        out = _short_attention_core(
+            prep(q), prep(k), prep(v), seed_arr,
+            (scale, t, interpret, rate),
+        )
+    else:
+        out = _flash_attention_core(
+            prep(q), prep(k), prep(v), seed_arr,
+            (block_q, block_k, scale, t, interpret, rate),
+        )
     return out[:, :t, :d].reshape(b, h, t, d)
