@@ -289,8 +289,18 @@ def bench_image_family():
             "image_size": 224, "num_labels": 1000, "num_channels": 3,
             "pos_encoding_type": "learned", "remat": False, "attn_impl": "auto",
         }, 64),
+        # round-4 perf preset: tanh GELU + bf16 first moments (BASELINE.md
+        # "ViT-B/16 MFU pass"); exact-erf/fp32-moment parity stays default.
+        ("vit_b16_perf_preset", {
+            "name": "vit-b16", "task_type": "cls", "input_kind": "image",
+            "image_size": 224, "num_labels": 1000, "num_channels": 3,
+            "pos_encoding_type": "learned", "remat": False, "attn_impl": "auto",
+            "gelu_approximate": True, "_moment_dtype": "bf16",
+        }, 64),
     ]
     for tag, mcfg, batch in cases:
+        mcfg = dict(mcfg)
+        moment_dtype = mcfg.pop("_moment_dtype", None)
         cfg = {
             "project": "bench", "model": dict(mcfg),
             "train": {"batch_size": batch, "ep": 1, "precision": "bf16"},
@@ -304,7 +314,8 @@ def bench_image_family():
         )
         y = jnp.asarray(rng.integers(0, vc.num_labels, batch), jnp.int32)
         params = bundle.module.init(jax.random.PRNGKey(0), x[:1])["params"]
-        spec = OptSpec(lr=1e-3, opt_type="adamw", steps_per_epoch=1, total_epochs=1)
+        spec = OptSpec(lr=1e-3, opt_type="adamw", steps_per_epoch=1,
+                       total_epochs=1, moment_dtype=moment_dtype)
         tx = build_optimizer(spec)
         opt_state = tx.init(params)
 

@@ -153,3 +153,63 @@ def test_early_stopping():
     assert not es.step(0.95)
     assert not es.step(0.95)
     assert es.step(0.95)  # 3rd epoch without improvement
+
+
+def test_moment_dtype_bf16_halves_mu_storage():
+    """opt.moment_dtype: bf16 stores adam-family first moments in bfloat16
+    (round-4 perf knob; measured ~1.2 ms/step on v5e ViT-B/16)."""
+    import jax
+    import jax.numpy as jnp
+
+    from vit_tpu.train.optim import OptSpec, build_optimizer
+
+    spec = OptSpec.from_config(
+        {"opt": {"type": "AdamW", "lr": 1e-3, "moment_dtype": "bf16"},
+         "train": {"ep": 1}},
+        steps_per_epoch=1,
+    )
+    assert spec.moment_dtype == "bf16"
+    params = {"w": jnp.ones((4, 4), jnp.float32)}
+    state = build_optimizer(spec).init(params)
+    mus = [leaf for leaf in jax.tree_util.tree_leaves(state)
+           if getattr(leaf, "dtype", None) == jnp.bfloat16]
+    assert mus, "no bf16 leaves in the optimizer state"
+
+    # default stays fp32
+    spec32 = OptSpec.from_config(
+        {"opt": {"type": "AdamW", "lr": 1e-3}, "train": {"ep": 1}},
+        steps_per_epoch=1,
+    )
+    state32 = build_optimizer(spec32).init(params)
+    assert not [leaf for leaf in jax.tree_util.tree_leaves(state32)
+                if getattr(leaf, "dtype", None) == jnp.bfloat16]
+
+
+def test_moment_dtype_bf16_training_step_stays_finite():
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from vit_tpu.train.optim import OptSpec, build_optimizer
+
+    spec = OptSpec(lr=1e-2, opt_type="adam", moment_dtype="bfloat16")
+    tx = build_optimizer(spec)
+    params = {"w": jnp.ones((8,), jnp.float32)}
+    state = tx.init(params)
+    for _ in range(3):
+        grads = {"w": jnp.full((8,), 0.1, jnp.float32)}
+        updates, state = tx.update(grads, state, params)
+        params = optax.apply_updates(params, updates)
+    assert bool(jnp.isfinite(params["w"]).all())
+
+
+def test_moment_dtype_rejects_unknown():
+    import jax.numpy as jnp
+    import pytest as _pytest
+
+    from vit_tpu.train.optim import OptSpec, build_optimizer
+
+    with _pytest.raises(ValueError, match="moment_dtype"):
+        build_optimizer(OptSpec(opt_type="adamw", moment_dtype="fp8")).init(
+            {"w": jnp.ones((2,), jnp.float32)}
+        )
