@@ -52,9 +52,16 @@ def test_flash_gradients_match_reference():
 
 def test_select_attn_impl_policy():
     # Backend-independent: same graph choice on the CPU test mesh and TPU.
+    # The auto boundary pins the measured v5e coverage matrix (BASELINE.md
+    # round 4): flash wins from T=1024 at d>=64, XLA below.
     assert select_attn_impl("xla", 4096, 64) == "xla"
     assert select_attn_impl("flash", 129, 16) == "flash"
     assert select_attn_impl("auto", 129, 16) == "xla"
+    assert select_attn_impl("auto", 197, 64) == "xla"   # B/16 image shape
+    assert select_attn_impl("auto", 1023, 64) == "xla"
+    assert select_attn_impl("auto", 1024, 64) == "flash"
+    assert select_attn_impl("auto", 1024, 128) == "flash"
+    assert select_attn_impl("auto", 4096, 32) == "xla"  # d<64 never wins
     assert select_attn_impl("auto", 4096, 64) == "flash"
 
 

@@ -58,11 +58,15 @@ def select_attn_impl(impl: str, seq_len: int, head_dim: int) -> str:
     `/root/reference/src/models/vit_with_rope.py:79-81`).
     """
     if impl == "auto":
-        # Measured crossover on v5e: XLA's fused attention wins below ~2k
-        # tokens; the Pallas kernel wins at the stride-1 sweep scale (~4k) —
-        # but only when head_dim isn't dwarfed by the 128-lane padding
-        # (d >= 64). Tiny baseline shapes always take the XLA path.
-        impl = "flash" if (seq_len >= 2048 and head_dim >= 64) else "xla"
+        # Crossover from the measured fwd+bwd coverage matrix (BASELINE.md
+        # "Flash-kernel coverage matrix", v5e round 4): flash wins every
+        # {f32, bf16} x {d=64, d=128} x {+-dropout} cell from T=1024 up
+        # (1.19-1.32x at 1024, 1.37-1.78x at 2048, 1.57-2.36x at 4096) and
+        # is parity-to-slower at T=197 (0.81-1.06x; the B/16 image shape
+        # stays on XLA's fused attention). d < 64 is never profitable: the
+        # 128-lane contraction pad alone wastes >=half the MXU, so tiny
+        # baseline shapes (d=16) always take the XLA path.
+        impl = "flash" if (seq_len >= 1024 and head_dim >= 64) else "xla"
     return impl
 
 

@@ -32,9 +32,12 @@ Design (single-chip; blocks sized for the ~16 MB VMEM budget):
 * padding: head_dim to a multiple of 128, sequence to a multiple of the
   block sizes; padded key columns are masked to -inf so results are exact.
 
-Measured on v5e (f32, B*H=8, T=4096, d=64): forward 2.26 ms vs 3.31 ms for
-XLA's fused attention (1.46x); the XLA path wins below ~2k tokens, which is
-why ``select_attn_impl('auto')`` crosses over at 2048.
+Measured on v5e across the full fwd+bwd coverage matrix (BASELINE.md
+"Flash-kernel coverage matrix": {f32, bf16} x T in {197, 1024, 2048, 4096}
+x d in {64, 128} x +-dropout): flash wins every cell from T=1024 up
+(1.19-1.32x at 1024 rising to 1.57-2.36x at 4096) and is parity-to-slower at
+T=197, which is why ``select_attn_impl('auto')`` crosses over at 1024
+(with d >= 64).
 
 Falls back to plain XLA attention (forward and backward, including the
 identical hash-dropout mask) on non-TPU backends so the CPU test mesh
