@@ -123,8 +123,11 @@ def build(precision: str, n_epochs: int = 1):
         frozen=jnp.zeros((), jnp.float32),
     )
     state = jax.device_put(state, repl)
+    # gather_mode='step' is the production Experiment default and the clean
+    # round-4 A/B winner (98.20 vs 99.73 ms/epoch, BASELINE.md round-4 table).
     train_epoch = make_train_epoch(
-        bundle, tx, spec, 0.0, BATCH, steps_per_epoch, repl, n_epochs=n_epochs
+        bundle, tx, spec, 0.0, BATCH, steps_per_epoch, repl, n_epochs=n_epochs,
+        gather_mode="step",
     )
     train_step = make_train_step(bundle, tx, spec, 0.0, repl, bshard)
     eval_step = make_eval_step(bundle, repl, bshard)
