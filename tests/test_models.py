@@ -144,6 +144,19 @@ def test_builder_num_labels_from_param(tiny_config):
     assert tiny_config["model"]["num_labels"] == 3
 
 
+def test_builder_perf_knob_mapping(tiny_config):
+    """Opt-in perf knobs flow config -> VitConfig, and stay off by default
+    (defaults must preserve reference numerics)."""
+    cfg = get_vit_config(tiny_config)
+    assert cfg.gelu_approximate is False
+    assert cfg.softmax_dtype is None
+    tiny_config["model"]["gelu_approximate"] = True
+    tiny_config["model"]["softmax_dtype"] = "bfloat16"
+    cfg = get_vit_config(tiny_config)
+    assert cfg.gelu_approximate is True
+    assert cfg.softmax_dtype == "bfloat16"
+
+
 def test_builder_vanilla_model_name(tiny_config):
     bundle = get_model(tiny_config)
     assert bundle.model_name == "ViT_p32_h32_l2_a2_s32_pSW"
@@ -215,6 +228,33 @@ def test_attention_out_dropout_uses_hidden_rate():
     a = m0.apply(p0, x, deterministic=False, rngs={"dropout": jax.random.PRNGKey(1)})
     b = m0.apply(p0, x, deterministic=True)
     np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+
+
+def test_attention_softmax_dtype_knob():
+    """model.softmax_dtype: bfloat16 (opt-in perf knob) must stay close to
+    the default fp32 softmax accumulation, and None must be exactly the
+    fp32 path (reference semantics unchanged by the knob's existence)."""
+    import jax
+    import jax.numpy as jnp
+
+    from vit_tpu.models.attention import MultiHeadSelfAttention
+
+    x = jnp.asarray(
+        np.random.default_rng(0).standard_normal((2, 9, 32)), jnp.float32
+    )
+    kw = dict(hidden_size=32, num_heads=2, dropout_rate=0.0,
+              out_dropout_rate=0.0, impl="xla")
+    m_f32 = MultiHeadSelfAttention(**kw)
+    m_none = MultiHeadSelfAttention(**kw, softmax_dtype=None)
+    m_bf16 = MultiHeadSelfAttention(**kw, softmax_dtype="bfloat16")
+    params = m_f32.init(jax.random.PRNGKey(0), x)
+    ref = np.asarray(m_f32.apply(params, x, deterministic=True))
+    np.testing.assert_array_equal(
+        ref, np.asarray(m_none.apply(params, x, deterministic=True))
+    )
+    got = np.asarray(m_bf16.apply(params, x, deterministic=True))
+    np.testing.assert_allclose(got, ref, rtol=0.05, atol=0.02)
+    assert got.dtype == ref.dtype  # output dtype governed by self.dtype
 
 
 def test_image_cls_token_standard_init(tiny_config):

@@ -90,6 +90,13 @@ class MultiHeadSelfAttention(nn.Module):
     qkv_bias: bool = True
     fast_dropout: bool = True  # counter-based masks (vit_tpu.ops.dropout)
     ring_block_k: Optional[int] = None  # inner key-block width (ring impl)
+    # Score-accumulation/softmax dtype for the xla path; None = float32
+    # (reference semantics). bfloat16 halves the HBM bytes of the (B,H,T,T)
+    # score tensor — the measured B/16 attention sink (BASELINE.md) — with
+    # ~1e-2 relative probs error (softmax still subtracts the row max, so
+    # it stays numerically stable). Ignored by flash/ring, which never
+    # materialize the score tensor and always accumulate fp32.
+    softmax_dtype: Optional[str] = None
 
     @nn.compact
     def __call__(
@@ -187,16 +194,26 @@ class MultiHeadSelfAttention(nn.Module):
                 context = flash_attention(q, k, v)
         elif impl in ("xla", "flash"):
             scale = head_dim**-0.5
-            scores = jnp.einsum(
-                "bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32
+            acc_dtype = (
+                jnp.float32 if self.softmax_dtype is None
+                else jnp.dtype(self.softmax_dtype)
             )
-            probs = jax.nn.softmax(scores * scale, axis=-1)
+            scores = jnp.einsum(
+                "bhqd,bhkd->bhqk", q, k, preferred_element_type=acc_dtype
+            )
+            probs = jax.nn.softmax(scores * jnp.asarray(scale, acc_dtype), axis=-1)
             if capture_probs:
                 # Batch-mean on device (H, T, T): the reference's attention
                 # hooks also store batch-mean weights (`viz_callback.py:220`),
                 # and transferring full (B, H, T, T) tensors to host breaks
                 # memory discipline at stride-1 (~4k tokens).
-                self.sow("intermediates", "attention_probs", probs.mean(axis=0))
+                # Sown captures stay fp32 even under the opt-in bf16
+                # softmax knob (viz consumers expect float arrays).
+                self.sow(
+                    "intermediates",
+                    "attention_probs",
+                    probs.mean(axis=0).astype(jnp.float32),
+                )
             probs = probs.astype(self.dtype)
             probs = self._dropout("attn_dropout")(
                 probs, deterministic=deterministic

@@ -98,6 +98,13 @@ class VitConfig:
     # ViT parity is exact erf); measured on v5e B/16 as a VPU-side saving —
     # see BASELINE.md round-4 rows before enabling for training runs.
     gelu_approximate: bool = False
+    # Accumulation/softmax dtype for the XLA attention path's (B,H,T,T)
+    # score tensor. None = float32 (reference semantics: fp32 softmax
+    # accumulation). 'bfloat16' halves the HBM traffic of the attention
+    # score/probability tensors — the measured B/16 sink (BASELINE.md
+    # round-4 trace) — at ~1e-2 relative probs error; opt-in perf knob,
+    # same contract as gelu_approximate.
+    softmax_dtype: Optional[str] = None
     # Counter-based dropout masks (vit_tpu.ops.dropout): ~10% faster epochs
     # on the dispatch-bound baseline; different RNG stream than nn.Dropout
     # (semantic parity). Set model.fast_dropout: false for threefry/rbg.
@@ -236,6 +243,7 @@ def get_vit_config(config: dict) -> VitConfig:
         remat=bool(m.get("remat", False)),
         fast_dropout=bool(m.get("fast_dropout", True)),
         gelu_approximate=bool(m.get("gelu_approximate", False)),
+        softmax_dtype=m.get("softmax_dtype") or None,
         fused_mlp=bool(m.get("fused_mlp", False)),
     )
 

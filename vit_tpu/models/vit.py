@@ -215,6 +215,7 @@ class ViTLayer(nn.Module):
             qkv_bias=cfg.qkv_bias,
             fast_dropout=getattr(cfg, "fast_dropout", True),
             ring_block_k=getattr(cfg, "ring_block_k", None),
+            softmax_dtype=getattr(cfg, "softmax_dtype", None),
             name="attention",
         )
         x = x + attn(h, deterministic=deterministic, capture_probs=capture)
