@@ -56,12 +56,18 @@ def main() -> int:
     p.add_argument("--limit", type=int, default=None)
     p.add_argument("--proba", action="store_true",
                    help="classification: write softmax probabilities too")
+    p.add_argument("--precision", default=None,
+                   help="serving compute dtype override (e.g. bf16)")
+    p.add_argument("--quantize", default=None, choices=["int8"],
+                   help="W8A8 dynamic int8 for the encoder (vit_tpu.ops.quant)")
     args = p.parse_args()
 
     from vit_tpu.serve import Predictor
 
     pred = Predictor.from_checkpoint(args.config, ckpt=args.ckpt,
-                                     batch_size=args.batch_size)
+                                     batch_size=args.batch_size,
+                                     precision=args.precision,
+                                     quantize=args.quantize)
     x = load_inputs(args.input, args.limit)
     out = {"predictions": pred.predict(x)}
     if args.proba and pred.vit_config.task_type == "cls":

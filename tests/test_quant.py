@@ -1,0 +1,156 @@
+"""Int8 serving quantization (vit_tpu.ops.quant) + Predictor integration."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vit_tpu.models.builder import get_model
+from vit_tpu.ops.quant import (
+    int8_dense,
+    quantize_dense_params,
+    quantized_apply,
+    quantized_size_bytes,
+    strip_quantized,
+)
+
+
+def _model(hidden=64, layers=2, heads=4):
+    cfg = {
+        "project": "q",
+        "model": {
+            "name": "vit", "task_type": "reg", "image_size": 512,
+            "patch_size": 16, "hidden_size": hidden,
+            "num_hidden_layers": layers, "num_attention_heads": heads,
+            "stride_size": 16, "proj_fn": "SW",
+        },
+        "train": {"batch_size": 8},
+        "loss": {"name": "mae"},
+        "data": {"param": "log_g"},
+        "noise": {"noise_level": 0},
+    }
+    bundle = get_model(cfg)
+    x = jnp.asarray(
+        np.random.default_rng(0).standard_normal((8, 512)), jnp.float32
+    )
+    params = bundle.module.init(jax.random.PRNGKey(0), x[:1])["params"]
+    return bundle, params, x
+
+
+def test_int8_dense_matches_fp32_within_quant_error():
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.standard_normal((32, 128)), jnp.float32)
+    w = jnp.asarray(rng.standard_normal((128, 256)) * 0.05, jnp.float32)
+    b = jnp.asarray(rng.standard_normal(256) * 0.01, jnp.float32)
+    scale = jnp.maximum(jnp.max(jnp.abs(w), axis=0), 1e-12) / 127.0
+    wq = jnp.clip(jnp.round(w / scale), -127, 127).astype(jnp.int8)
+    ref = np.asarray(x @ w + b)
+    out = np.asarray(int8_dense(x, wq, scale, b))
+    # W8A8 error scales with the row/column maxima; on N(0,1)@N(0,0.05)
+    # the observed rel RMS is ~0.5% — assert an order of magnitude slack.
+    denom = np.sqrt((ref**2).mean())
+    assert np.sqrt(((out - ref) ** 2).mean()) / denom < 0.05
+
+
+def test_quantize_selects_encoder_excludes_head_and_smalls():
+    _, params, _ = _model()
+    table = quantize_dense_params(params)
+    paths = set(table)
+    # every encoder Dense is in
+    for i in range(2):
+        for leaf in ("attention/query", "attention/key", "attention/value",
+                     "attention/out", "intermediate", "output"):
+            assert f"encoder/layer_{i}/{leaf}" in paths
+    # the head and the (fan-in 16) tokenizer proj are out
+    assert not any("regressor" in p for p in paths)
+    assert not any("patch_embeddings" in p for p in paths)
+    # per-channel scales have the right shape; weights are int8
+    e = table["encoder/layer_0/intermediate"]
+    assert e["wq"].dtype == jnp.int8 and e["wq"].shape == (64, 256)
+    assert e["scale"].shape == (256,)
+    assert quantized_size_bytes(table) > 0
+
+
+def test_quantized_forward_close_and_strip_exact():
+    bundle, params, x = _model()
+    table = quantize_dense_params(params)
+    ref = np.asarray(
+        bundle.module.apply({"params": params}, x, deterministic=True)
+    )
+    out = np.asarray(
+        quantized_apply(bundle.module, {"params": params}, table, x,
+                        deterministic=True)
+    )
+    # full-model W8A8 drift on a fresh-init model: measured ~0.07% max
+    rel = np.abs(out - ref) / (np.abs(ref) + 1e-6)
+    assert rel.max() < 0.05
+    # stripping the fp32 kernels of quantized layers changes nothing
+    stripped = strip_quantized(params, table)
+    out2 = np.asarray(
+        quantized_apply(bundle.module, {"params": stripped}, table, x,
+                        deterministic=True)
+    )
+    np.testing.assert_array_equal(out, out2)
+    k = stripped["encoder"]["layer_0"]["intermediate"]["kernel"]
+    assert k.shape == (1, 1)  # placeholder, not the (64, 256) original
+
+
+def test_quantize_respects_min_fan_in_and_exclude():
+    _, params, _ = _model()
+    none_left = quantize_dense_params(params, min_fan_in=10_000)
+    assert none_left == {}
+    with_head = quantize_dense_params(params, exclude=())
+    assert any("regressor" in p for p in with_head)
+
+
+@pytest.fixture()
+def trained(tiny_config, tmp_path, monkeypatch):
+    from vit_tpu.train.loop import Experiment
+
+    monkeypatch.setenv("CKPT_DIR", str(tmp_path / "ckpt"))
+    cfg = dict(tiny_config)
+    # hidden 64 so the encoder clears min_fan_in and actually quantizes
+    cfg["model"] = dict(tiny_config["model"], hidden_size=64,
+                        num_attention_heads=4)
+    cfg["train"] = dict(tiny_config["train"], ep=2, batch_size=16, save=True)
+    cfg["opt"] = {"type": "AdamW", "lr": 3e-3, "lr_sch": "none"}
+    exp = Experiment(cfg, seed=0)
+    exp.fit()
+    return exp, cfg
+
+
+def test_predictor_int8_close_to_fp32(trained):
+    from vit_tpu.serve import Predictor
+
+    exp, cfg = trained
+    flux = exp.datamodule.val.flux[:24]
+    p32 = Predictor.from_checkpoint(dict(cfg), ckpt="best", batch_size=16)
+    p8 = Predictor.from_checkpoint(dict(cfg), ckpt="best", batch_size=16,
+                                   quantize="int8")
+    assert p8._qtable  # encoder layers actually quantized
+    ref, out = p32.predict(flux), p8.predict(flux)
+    # physical-units regression outputs: quantization noise must be far
+    # below the model's own val MAE scale
+    assert np.abs(out - ref).max() < 0.05 * (np.abs(ref).mean() + 1.0)
+
+
+def test_predictor_bf16_precision(trained):
+    from vit_tpu.serve import Predictor
+
+    exp, cfg = trained
+    flux = exp.datamodule.val.flux[:16]
+    p32 = Predictor.from_checkpoint(dict(cfg), ckpt="best", batch_size=16)
+    pbf = Predictor.from_checkpoint(dict(cfg), ckpt="best", batch_size=16,
+                                    precision="bf16")
+    ref, out = p32.predict(flux), pbf.predict(flux)
+    assert np.isfinite(out).all()
+    # bf16 has ~3 decimal digits; physical-unit outputs agree to ~1%
+    assert np.abs(out - ref).max() < 0.03 * (np.abs(ref).mean() + 1.0)
+
+
+def test_predictor_rejects_unknown_quantize(trained):
+    from vit_tpu.serve import Predictor
+
+    _, cfg = trained
+    with pytest.raises(ValueError, match="quantize"):
+        Predictor.from_checkpoint(dict(cfg), ckpt="best", quantize="int4")

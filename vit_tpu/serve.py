@@ -10,6 +10,13 @@ Label denormalization uses the normalization statistics persisted in the
 checkpoint's ``meta.yaml`` at train time (no training data needed at
 serving time).
 
+Serving-time performance knobs (training numerics are untouched):
+
+* ``precision="bf16"`` — run the forward in bf16 (fp32-trained checkpoints
+  serve fine; halves matmul time on the MXU).
+* ``quantize="int8"`` — W8A8 dynamic int8 for the encoder Dense layers
+  (:mod:`vit_tpu.ops.quant`): int8 MXU matmuls + 4x smaller weights.
+
 Example::
 
     from vit_tpu.serve import Predictor
@@ -37,10 +44,12 @@ class Predictor:
         label_norm: str = "none",
         label_norm_stats: Optional[dict] = None,
         batch_size: int = 256,
+        quantize: Optional[str] = None,
     ) -> None:
         self.module = module
         self.params = params
         self.vit_config = vit_config
+        self.quantize = quantize
         self.label_norm = label_norm or "none"
         self.label_norm_stats = {
             k: (None if v is None else np.asarray(v, np.float64))
@@ -60,9 +69,34 @@ class Predictor:
                 "stats were found in checkpoint meta — predictions will be "
                 "returned in NORMALIZED units"
             )
-        self._forward = jax.jit(
-            lambda p, x: module.apply({"params": p}, x, deterministic=True)
-        )
+        if quantize is None:
+            self._forward = jax.jit(
+                lambda p, x: module.apply({"params": p}, x, deterministic=True)
+            )
+        elif quantize == "int8":
+            # W8A8 dynamic int8 (vit_tpu.ops.quant): encoder Dense layers run
+            # on the MXU's int8 path; their fp32 kernels are stripped from
+            # the resident tree (4x smaller weights in HBM).
+            from vit_tpu.ops.quant import (
+                quantize_dense_params,
+                quantized_apply,
+                strip_quantized,
+            )
+
+            self._qtable = quantize_dense_params(self.params)
+            self.params = strip_quantized(self.params, self._qtable)
+            self._forward = jax.jit(
+                lambda p, q, x: quantized_apply(
+                    module, {"params": p}, q, x, deterministic=True
+                )
+            )
+            self._forward = (
+                lambda p, x, _f=self._forward: _f(p, self._qtable, x)
+            )
+        else:
+            raise ValueError(
+                f"Unsupported quantize mode '{quantize}' (expected None or 'int8')"
+            )
 
     # -- construction -------------------------------------------------------
     @classmethod
@@ -71,20 +105,33 @@ class Predictor:
         config: Union[str, dict],
         ckpt: str = "best",
         batch_size: int = 256,
+        precision: Optional[str] = None,
+        quantize: Optional[str] = None,
     ) -> "Predictor":
         """Build from a YAML config (path or dict) + checkpoint spec.
 
         ``ckpt``: ``best`` | ``last`` | orbax dir | torch ``.pt``/``.ckpt``.
+        ``precision``: serving compute dtype override (e.g. ``"bf16"``) —
+        params stay fp32, matmuls run in the given dtype (fp32-trained
+        checkpoints serve fine in bf16). ``quantize="int8"``: W8A8 dynamic
+        int8 for the encoder Dense layers (:mod:`vit_tpu.ops.quant`).
         """
         from vit_tpu.config import load_config
         from vit_tpu.models.builder import get_model
         from vit_tpu.train.checkpoint import CheckpointManager, default_ckpt_dir
 
         cfg = load_config(config) if isinstance(config, str) else dict(config)
+        if precision is not None:
+            cfg = dict(cfg, train=dict(cfg.get("train", {}) or {}, precision=precision))
         if (cfg.get("model", {}) or {}).get("attn_impl") == "ring":
             # Sequence parallelism is a training-mesh concern; serving runs
             # the numerically-identical single-host xla kernel.
             cfg = dict(cfg, model=dict(cfg["model"], attn_impl="xla"))
+        if quantize is not None and (cfg.get("model", {}) or {}).get("fused_mlp"):
+            # The fused-MLP Pallas path reads its kernels directly
+            # (_DenseParams), bypassing the nn.Dense interception that int8
+            # serving hooks — serve the identical-math unfused MLP instead.
+            cfg = dict(cfg, model=dict(cfg["model"], fused_mlp=False))
         bundle = get_model(cfg)
         # enabled=False: read-only — no checkpoint-dir creation side effects
         # at serving time (read_meta does not need an enabled manager).
@@ -139,6 +186,7 @@ class Predictor:
             label_norm=meta.get("label_norm", (cfg.get("data", {}) or {}).get("label_norm", "none")),
             label_norm_stats=meta.get("label_norm_stats"),
             batch_size=batch_size,
+            quantize=quantize,
         )
 
     # -- inference -----------------------------------------------------------
