@@ -365,6 +365,67 @@ def bench_image_family():
     return out
 
 
+def bench_serving():
+    """ViT-B/16 batch-128 inference (vit_tpu.serve's deployment shape):
+    bf16 vs the serving perf preset (bf16 + tanh GELU + bf16 softmax).
+    Measured by amortizing IMG_STEPS forwards inside one scan dispatch with
+    a hard host sync. int8 modes are NOT timed here — their measured value
+    is resident-weight size, not batch-128 speed (BASELINE.md "Serving")."""
+    import jax
+    import jax.numpy as jnp
+
+    from vit_tpu.models.builder import get_model
+
+    BATCH_SERVE = 128
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(
+        rng.standard_normal((BATCH_SERVE, 224, 224, 3)), jnp.float32
+    )
+    out = {}
+    for tag, extra in (
+        ("serve_b16_bf16", {}),
+        ("serve_b16_preset", {"gelu_approximate": True,
+                              "softmax_dtype": "bfloat16"}),
+    ):
+        cfg = {
+            "project": "bench",
+            "model": {
+                "name": "vit-b16", "task_type": "cls", "input_kind": "image",
+                "image_size": 224, "num_labels": 1000, "num_channels": 3,
+                "pos_encoding_type": "learned", "remat": False,
+                "attn_impl": "auto", **extra,
+            },
+            "train": {"batch_size": BATCH_SERVE, "precision": "bf16"},
+            "loss": {"name": "ce"}, "data": {}, "noise": {"noise_level": 0},
+        }
+        bundle = get_model(cfg)
+        params = bundle.module.init(jax.random.PRNGKey(0), x[:1])["params"]
+        module = bundle.module
+
+        @jax.jit
+        def run(p, xx):
+            def body(carry, _):
+                logits = module.apply(
+                    {"params": p}, xx + carry * 1e-30, deterministic=True
+                )
+                return carry + logits.sum().astype(jnp.float32) * 1e-30, None
+
+            acc, _ = jax.lax.scan(
+                body, jnp.zeros((), jnp.float32), None, length=IMG_STEPS
+            )
+            return acc
+
+        np.asarray(run(params, x))  # compile + warm
+        times = []
+        for _ in range(2):
+            t0 = time.perf_counter()
+            np.asarray(run(params, x))
+            times.append(time.perf_counter() - t0)
+        dt = float(np.median(times)) / IMG_STEPS
+        out[f"{tag}_ips"] = round(BATCH_SERVE / dt, 1)
+    return out
+
+
 def main() -> None:
     import jax as _jax
 
@@ -392,6 +453,7 @@ def main() -> None:
         ips_bf16, _ = bench_fused(state3, data3, perm3, None, epoch3, spe3)
 
         image_metrics = bench_image_family()
+        image_metrics.update(bench_serving())
         lr_sweep_wall_s = bench_lr_sweep()
     print(setup_log.getvalue(), file=sys.stderr)
 

@@ -58,8 +58,12 @@ def main() -> int:
                    help="classification: write softmax probabilities too")
     p.add_argument("--precision", default=None,
                    help="serving compute dtype override (e.g. bf16)")
-    p.add_argument("--quantize", default=None, choices=["int8"],
-                   help="W8A8 dynamic int8 for the encoder (vit_tpu.ops.quant)")
+    p.add_argument("--quantize", default=None, choices=["int8", "int8-wo"],
+                   help="int8 encoder weights: W8A8 dynamic or weight-only "
+                        "(vit_tpu.ops.quant)")
+    p.add_argument("--perf-preset", action="store_true",
+                   help="measured serving fast path: bf16 + tanh GELU + "
+                        "bf16 softmax (1.53x over fp32 on ViT-B/16)")
     args = p.parse_args()
 
     from vit_tpu.serve import Predictor
@@ -67,7 +71,8 @@ def main() -> int:
     pred = Predictor.from_checkpoint(args.config, ckpt=args.ckpt,
                                      batch_size=args.batch_size,
                                      precision=args.precision,
-                                     quantize=args.quantize)
+                                     quantize=args.quantize,
+                                     perf_preset=args.perf_preset)
     x = load_inputs(args.input, args.limit)
     out = {"predictions": pred.predict(x)}
     if args.proba and pred.vit_config.task_type == "cls":

@@ -154,3 +154,40 @@ def test_predictor_rejects_unknown_quantize(trained):
     _, cfg = trained
     with pytest.raises(ValueError, match="quantize"):
         Predictor.from_checkpoint(dict(cfg), ckpt="best", quantize="int4")
+
+
+def test_weight_only_mode_close_to_fp32(trained):
+    """int8-wo trades W8A8's activation-quant error for bf16 compute
+    rounding; both modes' drift from fp32 stays far below the model's own
+    val-MAE scale (measured ~3e-4 in physical units on this fixture)."""
+    from vit_tpu.serve import Predictor
+
+    exp, cfg = trained
+    flux = exp.datamodule.val.flux[:24]
+    ref = Predictor.from_checkpoint(dict(cfg), ckpt="best",
+                                    batch_size=16).predict(flux)
+    out_wo = Predictor.from_checkpoint(dict(cfg), ckpt="best", batch_size=16,
+                                       quantize="int8-wo").predict(flux)
+    assert np.abs(out_wo - ref).max() < 0.05 * (np.abs(ref).mean() + 1.0)
+
+
+def test_predictor_perf_preset(trained):
+    """perf_preset = bf16 + tanh GELU + bf16 softmax: close to fp32 within
+    the preset's documented approximation error; composes with int8."""
+    from vit_tpu.serve import Predictor
+
+    exp, cfg = trained
+    flux = exp.datamodule.val.flux[:16]
+    ref = Predictor.from_checkpoint(dict(cfg), ckpt="best",
+                                    batch_size=16).predict(flux)
+    pp = Predictor.from_checkpoint(dict(cfg), ckpt="best", batch_size=16,
+                                   perf_preset=True)
+    assert pp.vit_config.gelu_approximate
+    assert str(pp.vit_config.precision).lower() in ("bf16", "bfloat16")
+    out = pp.predict(flux)
+    assert np.isfinite(out).all()
+    assert np.abs(out - ref).max() < 0.05 * (np.abs(ref).mean() + 1.0)
+    both = Predictor.from_checkpoint(dict(cfg), ckpt="best", batch_size=16,
+                                     perf_preset=True, quantize="int8-wo")
+    out2 = both.predict(flux)
+    assert np.abs(out2 - ref).max() < 0.08 * (np.abs(ref).mean() + 1.0)

@@ -121,27 +121,59 @@ def int8_dense(
     return y.astype(x.dtype)
 
 
-def _make_interceptor(qtable: Mapping[str, Mapping[str, jnp.ndarray]]):
+def int8_dense_weight_only(
+    x: jnp.ndarray,
+    wq: jnp.ndarray,
+    scale: jnp.ndarray,
+    bias: Optional[jnp.ndarray] = None,
+    compute_dtype: jnp.dtype = jnp.bfloat16,
+) -> jnp.ndarray:
+    """Weight-only int8 Dense: dequantize-into-matmul, activations untouched.
+
+    The per-channel dequant ``wq * scale`` fuses into the dot's weight read
+    (XLA keeps it elementwise-on-operand), so HBM sees int8 weights — the
+    4x traffic saving — while the MXU runs its native ``compute_dtype``
+    matmul with no activation-quant overhead. Accuracy is comparable to
+    W8A8, not strictly better: the activation-quant error is gone but the
+    ``compute_dtype`` (bf16) rounding replaces W8A8's exact int32
+    accumulation (both measured ~3e-4 physical-units drift on the verify
+    regression model).
+    """
+    w = (wq.astype(compute_dtype) * scale.astype(compute_dtype))
+    y = jnp.matmul(x.astype(compute_dtype), w)
+    if bias is not None:
+        y = y + bias.astype(compute_dtype)
+    return y.astype(x.dtype)
+
+
+def _make_interceptor(
+    qtable: Mapping[str, Mapping[str, jnp.ndarray]], weight_only: bool = False
+):
     def interceptor(next_fun, args, kwargs, context):
         if context.method_name == "__call__" and isinstance(
             context.module, nn.Dense
         ):
             q = qtable.get("/".join(context.module.path))
             if q is not None:
-                return int8_dense(args[0], q["wq"], q["scale"], q["bias"])
+                fn = int8_dense_weight_only if weight_only else int8_dense
+                return fn(args[0], q["wq"], q["scale"], q["bias"])
         return next_fun(*args, **kwargs)
 
     return interceptor
 
 
-def quantized_apply(module: nn.Module, variables, qtable, *args, **kwargs):
+def quantized_apply(
+    module: nn.Module, variables, qtable, *args, weight_only: bool = False,
+    **kwargs,
+):
     """``module.apply`` with quantized Dense layers swapped in by path.
 
     jit-compatible: close over nothing — ``variables`` and ``qtable`` are
     ordinary pytree arguments, so a ``jax.jit(lambda v, q, x: ...)`` wrapper
-    re-traces only on shape changes.
+    re-traces only on shape changes. ``weight_only=True`` uses
+    :func:`int8_dense_weight_only` instead of W8A8.
     """
-    with nn.intercept_methods(_make_interceptor(qtable)):
+    with nn.intercept_methods(_make_interceptor(qtable, weight_only)):
         return module.apply(variables, *args, **kwargs)
 
 

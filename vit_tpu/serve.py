@@ -10,12 +10,16 @@ Label denormalization uses the normalization statistics persisted in the
 checkpoint's ``meta.yaml`` at train time (no training data needed at
 serving time).
 
-Serving-time performance knobs (training numerics are untouched):
+Serving-time performance knobs (training numerics are untouched; measured
+numbers in BASELINE.md "Serving"):
 
 * ``precision="bf16"`` — run the forward in bf16 (fp32-trained checkpoints
-  serve fine; halves matmul time on the MXU).
-* ``quantize="int8"`` — W8A8 dynamic int8 for the encoder Dense layers
-  (:mod:`vit_tpu.ops.quant`): int8 MXU matmuls + 4x smaller weights.
+  serve fine; 1.16x over fp32 on ViT-B/16 batch 128).
+* ``perf_preset=True`` — bf16 + tanh GELU + bf16 softmax accumulation:
+  1.53x over fp32 serving (3,154 img/s on ViT-B/16 batch 128, v5e).
+* ``quantize="int8"`` / ``"int8-wo"`` — int8 encoder weights
+  (:mod:`vit_tpu.ops.quant`): 4x smaller resident weights (serving
+  density); W8A8 additionally measured 1.13x at batch 8.
 
 Example::
 
@@ -73,10 +77,13 @@ class Predictor:
             self._forward = jax.jit(
                 lambda p, x: module.apply({"params": p}, x, deterministic=True)
             )
-        elif quantize == "int8":
-            # W8A8 dynamic int8 (vit_tpu.ops.quant): encoder Dense layers run
-            # on the MXU's int8 path; their fp32 kernels are stripped from
-            # the resident tree (4x smaller weights in HBM).
+        elif quantize in ("int8", "int8-wo"):
+            # int8 encoder weights (vit_tpu.ops.quant): fp32 kernels are
+            # stripped from the resident tree (4x smaller weights in HBM —
+            # the serving-density win; BASELINE.md "Serving" table).
+            # 'int8' = W8A8 dynamic (int8 MXU matmuls; best measured
+            # mid-batch); 'int8-wo' = weight-only (dequantize-into-matmul,
+            # no activation-quant error).
             from vit_tpu.ops.quant import (
                 quantize_dense_params,
                 quantized_apply,
@@ -85,9 +92,11 @@ class Predictor:
 
             self._qtable = quantize_dense_params(self.params)
             self.params = strip_quantized(self.params, self._qtable)
+            weight_only = quantize == "int8-wo"
             self._forward = jax.jit(
                 lambda p, q, x: quantized_apply(
-                    module, {"params": p}, q, x, deterministic=True
+                    module, {"params": p}, q, x, deterministic=True,
+                    weight_only=weight_only,
                 )
             )
             self._forward = (
@@ -95,7 +104,8 @@ class Predictor:
             )
         else:
             raise ValueError(
-                f"Unsupported quantize mode '{quantize}' (expected None or 'int8')"
+                f"Unsupported quantize mode '{quantize}' "
+                "(expected None, 'int8', or 'int8-wo')"
             )
 
     # -- construction -------------------------------------------------------
@@ -107,20 +117,32 @@ class Predictor:
         batch_size: int = 256,
         precision: Optional[str] = None,
         quantize: Optional[str] = None,
+        perf_preset: bool = False,
     ) -> "Predictor":
         """Build from a YAML config (path or dict) + checkpoint spec.
 
         ``ckpt``: ``best`` | ``last`` | orbax dir | torch ``.pt``/``.ckpt``.
         ``precision``: serving compute dtype override (e.g. ``"bf16"``) —
         params stay fp32, matmuls run in the given dtype (fp32-trained
-        checkpoints serve fine in bf16). ``quantize="int8"``: W8A8 dynamic
-        int8 for the encoder Dense layers (:mod:`vit_tpu.ops.quant`).
+        checkpoints serve fine in bf16). ``quantize``: ``"int8"`` (W8A8
+        dynamic) or ``"int8-wo"`` (weight-only) for the encoder Dense
+        layers (:mod:`vit_tpu.ops.quant`). ``perf_preset=True`` applies the
+        measured serving fast path — bf16 compute (unless ``precision`` is
+        given) + tanh GELU + bf16 softmax accumulation: 1.53x over fp32
+        serving on ViT-B/16 batch 128 (BASELINE.md "Serving" table), at the
+        same opt-in numerics tradeoffs as the training perf preset.
         """
         from vit_tpu.config import load_config
         from vit_tpu.models.builder import get_model
         from vit_tpu.train.checkpoint import CheckpointManager, default_ckpt_dir
 
         cfg = load_config(config) if isinstance(config, str) else dict(config)
+        if perf_preset:
+            if precision is None:
+                precision = "bf16"
+            cfg = dict(cfg, model=dict(cfg.get("model", {}) or {},
+                                       gelu_approximate=True,
+                                       softmax_dtype="bfloat16"))
         if precision is not None:
             cfg = dict(cfg, train=dict(cfg.get("train", {}) or {}, precision=precision))
         if (cfg.get("model", {}) or {}).get("attn_impl") == "ring":
