@@ -149,6 +149,34 @@ class VitConfig:
         return self.hidden_size // self.num_attention_heads
 
 
+def step_matmul_flops(
+    vc: VitConfig, batch_size: int, train: bool = True
+) -> float:
+    """Analytic matmul FLOPs of one step (multiply-add = 2 FLOPs).
+
+    Counts the ViT's matmul work — patch embed, per-layer QKV/out
+    projections, the two T x T attention matmuls, the MLP pair, and the
+    head — for one batch; ``train=True`` applies the standard fwd+bwd
+    factor 3 (backward re-runs each matmul twice: dL/dx and dL/dW).
+    Elementwise work (LN, GELU, softmax, dropout, residuals) and the
+    optional covariance preprocessor are excluded, so this is a lower
+    bound within a few percent at MXU-relevant shapes — the denominator
+    for achieved-TFLOP/s / MFU observability (``train.log_mfu``) and the
+    basis of BASELINE.md's MFU accounting.
+    """
+    T, H, L = vc.seq_len, vc.hidden_size, vc.num_hidden_layers
+    inter = vc.intermediate_size
+    if vc.input_kind == "image":
+        patch_in = vc.patch_size**2 * vc.num_channels
+    else:
+        patch_in = vc.patch_size
+    embed = 2.0 * vc.num_patches * patch_in * H
+    per_layer = 8.0 * T * H * H + 4.0 * T * T * H + 4.0 * T * H * inter
+    head = 2.0 * H * vc.num_labels
+    fwd = batch_size * (L * per_layer + embed + head)
+    return 3.0 * fwd if train else fwd
+
+
 @dataclasses.dataclass
 class ModelBundle:
     """Everything the training runtime needs to know about the built model."""

@@ -834,6 +834,19 @@ class Experiment:
         # the epoch fits in HBM — the big throughput lever for small,
         # dispatch-bound models. Under DP the batches (train and fused-val)
         # are sharded over the data axis inside the dispatch.
+        # Achieved-TFLOP/s observability (train.log_mfu): analytic matmul
+        # FLOPs per step (builder.step_matmul_flops) over epoch wall-clock;
+        # train.peak_tflops (e.g. 197 for v5e bf16) additionally logs `mfu`.
+        flops_per_step = None
+        peak_tflops = None
+        if (self.config.get("train", {}) or {}).get("log_mfu"):
+            from vit_tpu.models.builder import step_matmul_flops
+
+            flops_per_step = step_matmul_flops(
+                self.bundle.vit_config, self.batch_size, train=True
+            )
+            peak_tflops = (self.config.get("train", {}) or {}).get("peak_tflops")
+
         fused_cfg = (self.config.get("train", {}) or {}).get("fused_epoch", "auto")
         # Normalize truthy config spellings (1, 'true', 'yes' from CLI/sweep
         # overrides) — `fused_cfg is True` alone would silently drop them.
@@ -1170,6 +1183,14 @@ class Experiment:
                 "epoch_time_s": dt,
                 "samples_per_s": n_steps * self.batch_size / max(dt, 1e-9),
             }
+            if flops_per_step is not None:
+                # Wall-clock includes host dispatch (and fused val), so this
+                # is deployment-honest achieved throughput, not a
+                # device-trace number.
+                tflops = n_steps * flops_per_step / max(dt, 1e-9) / 1e12
+                epoch_metrics["tflops_per_s"] = tflops
+                if peak_tflops:
+                    epoch_metrics["mfu"] = tflops / float(peak_tflops)
             if self.bundle.has_preprocessor:
                 epoch_metrics["preprocessor_frozen"] = float(self.state.frozen)
 
