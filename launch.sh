@@ -8,6 +8,8 @@ set -Eeuo pipefail
 #   test  - evaluation only (scripts/test.py)
 #   lr    - two-stage learning-rate + scheduler sweep (vmapped replicas)
 #   sweep - W&B sweep helper (wraps wandb CLI + scripts/sweep.py)
+# plus one rebuild-only mode (the reference has no serving entry point):
+#   predict - batch inference over a checkpoint (scripts/predict.py)
 #
 # Examples:
 #   ./launch.sh run -c configs/exp/att_clp/baseline.yaml --wandb 1 --save
@@ -21,7 +23,7 @@ set -Eeuo pipefail
 
 usage() {
   cat <<'HELP'
-usage: ./launch.sh [run|test|lr|sweep] [options] [-- passthrough args]
+usage: ./launch.sh [run|test|lr|sweep|predict] [options] [-- passthrough args]
 
 modes
   run    train (+ final test) with scripts/run.py        [default]
@@ -32,6 +34,9 @@ modes
          artifacts land in opt_runs/sweep/parallel_sweep_<ts>/
          (summary.yaml, best_config.yaml); --dry-run previews the grid
   sweep  create a W&B sweep and start one agent (one TPU process/host)
+  predict  batch inference with scripts/predict.py; serving flags
+           (--input/--output/--perf-preset/--quantize int8|int8-wo/
+           --precision/--limit/--proba) pass through
 
 options
   -c, --config PATH     YAML config (run/test/lr; sweep: the sweep YAML)
@@ -70,7 +75,7 @@ wb_project="${WANDB_PROJECT:-vit-test}"
 agent_trials=""
 passthru=()
 
-case "${1:-}" in run|test|lr|sweep) mode=$1; shift;; esac
+case "${1:-}" in run|test|lr|sweep|predict) mode=$1; shift;; esac
 
 while (($#)); do
   opt=$1
@@ -184,6 +189,17 @@ print("â”€â”€â”€â”€â”€â”€â”€â”€â”€â”€â”€â”€â”€â”€â”€â”€â”€â”€â”€â”€â”€â”€â”€â”€â
 PY
 }
 
+predict_mode() {
+  local cfg
+  cfg="${cfg_path:-$ROOT/configs/exp/att_clp/baseline.yaml}"
+  local -a cmd=("$py" "./scripts/predict.py" -f "$cfg")
+  [[ -n $ckpt_spec ]] && cmd+=(--ckpt "$ckpt_spec")
+  ((${#passthru[@]})) && cmd+=("${passthru[@]}")
+  echo "[launch] MODE=predict CONFIG=$cfg CKPT=${ckpt_spec:-best}"
+  echo "[launch] CMD=${cmd[*]}"
+  exec "${cmd[@]}"
+}
+
 wandb_sweep() {
   local sweep_file="${sweep_cfg:-$cfg_path}"
   [[ -n $sweep_file ]] || die "provide -c/--config with a sweep YAML"
@@ -222,8 +238,9 @@ wandb_sweep() {
 }
 
 case "$mode" in
-  run)   run_or_test run.py;;
-  test)  run_or_test test.py;;
-  lr)    lr_search;;
-  sweep) wandb_sweep;;
+  run)     run_or_test run.py;;
+  test)    run_or_test test.py;;
+  lr)      lr_search;;
+  sweep)   wandb_sweep;;
+  predict) predict_mode;;
 esac

@@ -47,3 +47,20 @@ def test_run_reference_short_flags(monkeypatch):
 
     args = _parse(run, ["-f", "c.yaml", "-g", "8", "-w", "0", "--save"], monkeypatch)
     assert args.file == "c.yaml" and args.gpus == 8 and args.save
+
+
+def test_launch_predict_mode_dispatches():
+    """./launch.sh predict reaches scripts/predict.py (rebuild-only serving
+    mode): with --input missing, predict.py's argparse must be the one that
+    errors — proving dispatch + flag passthrough."""
+    import os
+    import subprocess
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    proc = subprocess.run(
+        ["bash", "./launch.sh", "predict", "-c", "cfg.yaml"],
+        capture_output=True, text=True, cwd=repo, timeout=120,
+    )
+    assert proc.returncode == 2  # argparse "required: --input"
+    assert "--input" in proc.stderr
+    assert "MODE=predict" in proc.stdout

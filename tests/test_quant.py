@@ -171,6 +171,34 @@ def test_weight_only_mode_close_to_fp32(trained):
     assert np.abs(out_wo - ref).max() < 0.05 * (np.abs(ref).mean() + 1.0)
 
 
+def test_resident_weight_reduction():
+    """The serving-density claim: int8 table + stripped tree carry ~4x
+    fewer encoder-weight bytes than the fp32 originals."""
+    _, params, _ = _model(hidden=128, layers=4)
+    table = quantize_dense_params(params)
+    stripped = strip_quantized(params, table)
+
+    def tree_bytes(t):
+        import jax
+
+        return sum(
+            int(np.prod(a.shape)) * a.dtype.itemsize
+            for a in jax.tree_util.tree_leaves(t)
+        )
+
+    orig = tree_bytes(params)
+    quantized_paths = {tuple(p.split("/")) for p in table}
+    fp32_encoder = sum(
+        int(np.prod(e["wq"].shape)) * 4 for e in table.values()
+    )
+    after = tree_bytes(stripped) + quantized_size_bytes(table)
+    saved = orig - after
+    # int8 kernel (1/4) + f32 scale vector is all that remains of each
+    # quantized kernel; biases/LN/head/embed are untouched
+    assert saved > 0.70 * fp32_encoder
+    assert quantized_size_bytes(table) < 0.30 * fp32_encoder
+
+
 def test_predictor_perf_preset(trained):
     """perf_preset = bf16 + tanh GELU + bf16 softmax: close to fp32 within
     the preset's documented approximation error; composes with int8."""
