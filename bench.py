@@ -263,6 +263,19 @@ def bench_lr_sweep() -> float:
     return dt
 
 
+def _timed_dispatch(dispatch, iters: int, reps: int = 2) -> float:
+    """Median wall-time per scanned iteration of ``dispatch()`` with a hard
+    host sync (np.asarray of its result) — one warm call first for compile.
+    The shared scaffold for every amortized-scan measurement here."""
+    np.asarray(dispatch())
+    times = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        np.asarray(dispatch())
+        times.append(time.perf_counter() - t0)
+    return float(np.median(times)) / iters
+
+
 def bench_image_family():
     """Train-step throughput for the standard image-ViT presets (bf16).
 
@@ -350,16 +363,13 @@ def bench_image_family():
             )
             return carry[0], carry[1], losses
 
-        p, o = params, opt_state
-        p, o, losses = run(p, o)
-        np.asarray(losses)  # compile + warm
-        times = []
-        for _ in range(2):
-            t0 = time.perf_counter()
-            p, o, losses = run(p, o)
-            np.asarray(losses)
-            times.append(time.perf_counter() - t0)
-        dt = float(np.median(times)) / IMG_STEPS
+        carry = [params, opt_state]
+
+        def dispatch(carry=carry, run=run):
+            carry[0], carry[1], losses = run(carry[0], carry[1])
+            return losses
+
+        dt = _timed_dispatch(dispatch, IMG_STEPS)
         out[f"{tag}_ips"] = round(batch / dt, 1)
         out[f"{tag}_step_ms"] = round(dt * 1e3, 3)
     return out
@@ -415,13 +425,9 @@ def bench_serving():
             )
             return acc
 
-        np.asarray(run(params, x))  # compile + warm
-        times = []
-        for _ in range(2):
-            t0 = time.perf_counter()
-            np.asarray(run(params, x))
-            times.append(time.perf_counter() - t0)
-        dt = float(np.median(times)) / IMG_STEPS
+        dt = _timed_dispatch(
+            lambda run=run, params=params: run(params, x), IMG_STEPS
+        )
         out[f"{tag}_ips"] = round(BATCH_SERVE / dt, 1)
     return out
 

@@ -72,7 +72,8 @@ def test_experiment_logs_tflops_and_mfu(tiny_config, tmp_path, monkeypatch):
     cfg["train"] = dict(tiny_config["train"], ep=2, batch_size=16,
                         log_mfu=True, peak_tflops=100.0)
     cfg["opt"] = {"type": "AdamW", "lr": 1e-3, "lr_sch": "none"}
-    exp = Experiment(cfg, seed=0)
+    exp = Experiment(cfg, seed=0, num_devices=1)
+    assert exp.mesh.size == 1
     metrics = exp.fit()
     assert metrics["tflops_per_s"] > 0
     assert np.isclose(
@@ -84,3 +85,21 @@ def test_experiment_logs_tflops_and_mfu(tiny_config, tmp_path, monkeypatch):
     cfg2["opt"] = {"type": "AdamW", "lr": 1e-3, "lr_sch": "none"}
     m2 = Experiment(cfg2, seed=0).fit()
     assert "tflops_per_s" not in m2 and "mfu" not in m2
+
+
+def test_mfu_normalized_by_mesh_size(tiny_config, tmp_path, monkeypatch):
+    """peak_tflops is PER-CHIP: on an 8-device DP mesh mfu must divide the
+    aggregate tflops_per_s by 8 (an unnormalized mfu reads 8x too high)."""
+    from vit_tpu.train.loop import Experiment
+
+    monkeypatch.setenv("CKPT_DIR", str(tmp_path / "ckpt"))
+    cfg = dict(tiny_config)
+    cfg["train"] = dict(tiny_config["train"], ep=1, batch_size=16,
+                        log_mfu=True, peak_tflops=100.0)
+    cfg["opt"] = {"type": "AdamW", "lr": 1e-3, "lr_sch": "none"}
+    exp = Experiment(cfg, seed=0, num_devices=8)
+    assert exp.mesh.size == 8
+    metrics = exp.fit()
+    assert np.isclose(
+        metrics["mfu"], metrics["tflops_per_s"] / (100.0 * 8), rtol=1e-6
+    )

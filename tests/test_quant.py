@@ -157,9 +157,9 @@ def test_predictor_rejects_unknown_quantize(trained):
 
 
 def test_weight_only_mode_close_to_fp32(trained):
-    """int8-wo trades W8A8's activation-quant error for bf16 compute
-    rounding; both modes' drift from fp32 stays far below the model's own
-    val-MAE scale (measured ~3e-4 in physical units on this fixture)."""
+    """Under fp32 serving, int8-wo computes in the module's f32 dtype
+    (weight-rounding error ONLY — no activation quant, no bf16 downcast);
+    drift from fp32 stays far below the model's own val-MAE scale."""
     from vit_tpu.serve import Predictor
 
     exp, cfg = trained
@@ -169,6 +169,40 @@ def test_weight_only_mode_close_to_fp32(trained):
     out_wo = Predictor.from_checkpoint(dict(cfg), ckpt="best", batch_size=16,
                                        quantize="int8-wo").predict(flux)
     assert np.abs(out_wo - ref).max() < 0.05 * (np.abs(ref).mean() + 1.0)
+
+
+def test_weight_only_respects_module_dtype():
+    """The interceptor must run int8-wo in the module's compute dtype: on
+    an fp32 module the quantized output matches the f32 dequantized matmul
+    to float32 precision (a silent bf16 downcast would miss by ~1e-2)."""
+    import jax
+
+    from vit_tpu.ops.quant import quantized_apply
+
+    bundle, params, x = _model()
+    table = quantize_dense_params(params)
+    # f32 reference with dequantized weights substituted into the tree
+    deq = jax.tree_util.tree_map(lambda a: a, params)
+
+    def subst(node, path=()):
+        for key, child in list(node.items()):
+            if key == "kernel" and "/".join(path) in table:
+                e = table["/".join(path)]
+                node[key] = (
+                    e["wq"].astype(jnp.float32) * e["scale"]
+                ).astype(jnp.float32)
+            elif hasattr(child, "items"):
+                subst(child, path + (key,))
+
+    subst(deq)
+    ref = np.asarray(
+        bundle.module.apply({"params": deq}, x, deterministic=True)
+    )
+    out = np.asarray(
+        quantized_apply(bundle.module, {"params": params}, table, x,
+                        deterministic=True, weight_only=True)
+    )
+    np.testing.assert_allclose(out, ref, rtol=2e-6, atol=2e-6)
 
 
 def test_resident_weight_reduction():
@@ -187,7 +221,6 @@ def test_resident_weight_reduction():
         )
 
     orig = tree_bytes(params)
-    quantized_paths = {tuple(p.split("/")) for p in table}
     fp32_encoder = sum(
         int(np.prod(e["wq"].shape)) * 4 for e in table.values()
     )

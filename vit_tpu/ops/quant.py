@@ -132,12 +132,11 @@ def int8_dense_weight_only(
 
     The per-channel dequant ``wq * scale`` fuses into the dot's weight read
     (XLA keeps it elementwise-on-operand), so HBM sees int8 weights — the
-    4x traffic saving — while the MXU runs its native ``compute_dtype``
-    matmul with no activation-quant overhead. Accuracy is comparable to
-    W8A8, not strictly better: the activation-quant error is gone but the
-    ``compute_dtype`` (bf16) rounding replaces W8A8's exact int32
-    accumulation (both measured ~3e-4 physical-units drift on the verify
-    regression model).
+    4x traffic saving — while the matmul runs in ``compute_dtype`` (the
+    serving module's dtype: f32 serving keeps exact f32 accumulation with
+    weight-rounding error only; bf16 serving adds bf16 rounding, which
+    replaces W8A8's exact int32 accumulation — both measured ~3e-4
+    physical-units drift on the verify regression model).
     """
     w = (wq.astype(compute_dtype) * scale.astype(compute_dtype))
     y = jnp.matmul(x.astype(compute_dtype), w)
@@ -155,8 +154,17 @@ def _make_interceptor(
         ):
             q = qtable.get("/".join(context.module.path))
             if q is not None:
-                fn = int8_dense_weight_only if weight_only else int8_dense
-                return fn(args[0], q["wq"], q["scale"], q["bias"])
+                if weight_only:
+                    # Match the module's configured compute dtype (fp32
+                    # serving must NOT silently downcast activations to
+                    # bf16 — weight-only's whole point is weight-rounding
+                    # error only).
+                    compute = context.module.dtype or args[0].dtype
+                    return int8_dense_weight_only(
+                        args[0], q["wq"], q["scale"], q["bias"],
+                        compute_dtype=compute,
+                    )
+                return int8_dense(args[0], q["wq"], q["scale"], q["bias"])
         return next_fun(*args, **kwargs)
 
     return interceptor

@@ -39,6 +39,14 @@ import numpy as np
 __all__ = ["Predictor"]
 
 
+def _check_quantize_mode(quantize: Optional[str]) -> None:
+    if quantize not in (None, "int8", "int8-wo"):
+        raise ValueError(
+            f"Unsupported quantize mode '{quantize}' "
+            "(expected None, 'int8', or 'int8-wo')"
+        )
+
+
 class Predictor:
     def __init__(
         self,
@@ -73,17 +81,27 @@ class Predictor:
                 "stats were found in checkpoint meta — predictions will be "
                 "returned in NORMALIZED units"
             )
+        _check_quantize_mode(quantize)
         if quantize is None:
             self._forward = jax.jit(
                 lambda p, x: module.apply({"params": p}, x, deterministic=True)
             )
-        elif quantize in ("int8", "int8-wo"):
+        else:
             # int8 encoder weights (vit_tpu.ops.quant): fp32 kernels are
             # stripped from the resident tree (4x smaller weights in HBM —
             # the serving-density win; BASELINE.md "Serving" table).
             # 'int8' = W8A8 dynamic (int8 MXU matmuls; best measured
             # mid-batch); 'int8-wo' = weight-only (dequantize-into-matmul,
-            # no activation-quant error).
+            # no activation quant; exact accumulation under f32 serving).
+            if getattr(vit_config, "fused_mlp", False):
+                # The fused-MLP Pallas path reads its kernels directly
+                # (_DenseParams) — stripping them would hand it (1,1)
+                # placeholders. from_checkpoint rebuilds with fused_mlp
+                # off; a directly-constructed module must do the same.
+                raise ValueError(
+                    "quantize requires the unfused MLP path: rebuild the "
+                    "module with model.fused_mlp=False (identical math)"
+                )
             from vit_tpu.ops.quant import (
                 quantize_dense_params,
                 quantized_apply,
@@ -91,6 +109,15 @@ class Predictor:
             )
 
             self._qtable = quantize_dense_params(self.params)
+            if not self._qtable:
+                # e.g. the hidden-32 baseline family: nothing clears
+                # min_fan_in, so serving would silently run full fp32
+                # against the user's explicit density request.
+                print(
+                    f"[serve] quantize='{quantize}' matched no layers "
+                    "(no Dense kernel with fan-in >= 64) — serving "
+                    "UNQUANTIZED at full resident size"
+                )
             self.params = strip_quantized(self.params, self._qtable)
             weight_only = quantize == "int8-wo"
             self._forward = jax.jit(
@@ -101,11 +128,6 @@ class Predictor:
             )
             self._forward = (
                 lambda p, x, _f=self._forward: _f(p, self._qtable, x)
-            )
-        else:
-            raise ValueError(
-                f"Unsupported quantize mode '{quantize}' "
-                "(expected None, 'int8', or 'int8-wo')"
             )
 
     # -- construction -------------------------------------------------------
@@ -136,6 +158,9 @@ class Predictor:
         from vit_tpu.models.builder import get_model
         from vit_tpu.train.checkpoint import CheckpointManager, default_ckpt_dir
 
+        # Fail fast on a bad mode — BEFORE model build + checkpoint restore
+        # (seconds to minutes over a TPU tunnel).
+        _check_quantize_mode(quantize)
         cfg = load_config(config) if isinstance(config, str) else dict(config)
         if perf_preset:
             if precision is None:

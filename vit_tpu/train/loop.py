@@ -1186,11 +1186,15 @@ class Experiment:
             if flops_per_step is not None:
                 # Wall-clock includes host dispatch (and fused val), so this
                 # is deployment-honest achieved throughput, not a
-                # device-trace number.
+                # device-trace number. tflops_per_s aggregates the WHOLE
+                # mesh (the global batch's FLOPs); peak_tflops is per-chip,
+                # so mfu divides by the device count.
                 tflops = n_steps * flops_per_step / max(dt, 1e-9) / 1e12
                 epoch_metrics["tflops_per_s"] = tflops
                 if peak_tflops:
-                    epoch_metrics["mfu"] = tflops / float(peak_tflops)
+                    epoch_metrics["mfu"] = tflops / (
+                        float(peak_tflops) * self.mesh.size
+                    )
             if self.bundle.has_preprocessor:
                 epoch_metrics["preprocessor_frozen"] = float(self.state.frozen)
 
