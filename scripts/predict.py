@@ -64,6 +64,9 @@ def main() -> int:
     p.add_argument("--perf-preset", action="store_true",
                    help="measured serving fast path: bf16 + tanh GELU + "
                         "bf16 softmax (1.53x over fp32 on ViT-B/16)")
+    p.add_argument("-g", "--gpus", "--devices", dest="devices", type=int,
+                   default=None,
+                   help="data-parallel serving over N mesh devices")
     args = p.parse_args()
 
     from vit_tpu.serve import Predictor
@@ -72,7 +75,8 @@ def main() -> int:
                                      batch_size=args.batch_size,
                                      precision=args.precision,
                                      quantize=args.quantize,
-                                     perf_preset=args.perf_preset)
+                                     perf_preset=args.perf_preset,
+                                     num_devices=args.devices)
     x = load_inputs(args.input, args.limit)
     out = {"predictions": pred.predict(x)}
     if args.proba and pred.vit_config.task_type == "cls":

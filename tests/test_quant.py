@@ -148,6 +148,25 @@ def test_predictor_bf16_precision(trained):
     assert np.abs(out - ref).max() < 0.03 * (np.abs(ref).mean() + 1.0)
 
 
+def test_predictor_int8_data_parallel(trained):
+    """Quantized serving composes with data-parallel serving: batches
+    sharded over the 8-device mesh, int8 table + stripped params
+    replicated; output matches single-device int8 serving."""
+    from vit_tpu.serve import Predictor
+
+    exp, cfg = trained
+    flux = exp.datamodule.val.flux[:24]
+    single = Predictor.from_checkpoint(dict(cfg), ckpt="best", batch_size=16,
+                                       quantize="int8")
+    assert single._qtable  # hidden 64 -> encoder actually quantized
+    dp = Predictor.from_checkpoint(dict(cfg), ckpt="best", batch_size=16,
+                                   quantize="int8", num_devices=8)
+    assert dp.mesh is not None
+    np.testing.assert_allclose(
+        dp.predict(flux), single.predict(flux), rtol=1e-5, atol=1e-6
+    )
+
+
 def test_predictor_rejects_unknown_quantize(trained):
     from vit_tpu.serve import Predictor
 

@@ -181,6 +181,30 @@ def test_predict_cli_load_inputs_rejects_unknown_npz(tmp_path):
     assert mod.load_inputs(str(ok), 2).shape == (2, 8)
 
 
+def test_predict_data_parallel_matches_single_device(trained):
+    """num_devices=8: batches shard over the mesh data axis; predictions
+    must match single-device serving (DP is a layout, not a math change).
+    The int8+DP composition is tested in test_quant.py (needs hidden>=64
+    so the quantization table is non-empty)."""
+    exp, cfg = trained
+    flux = exp.datamodule.val.flux[:40]
+    ref = Predictor.from_checkpoint(dict(cfg), ckpt="best",
+                                    batch_size=16).predict(flux)
+    dp = Predictor.from_checkpoint(dict(cfg), ckpt="best", batch_size=16,
+                                   num_devices=8)
+    assert dp.mesh is not None and dp.mesh.shape["data"] == 8
+    np.testing.assert_allclose(dp.predict(flux), ref, rtol=1e-5, atol=1e-6)
+
+
+def test_predict_data_parallel_rejects_indivisible_batch(trained):
+    import pytest
+
+    _, cfg = trained
+    with pytest.raises(ValueError, match="divide"):
+        Predictor.from_checkpoint(dict(cfg), ckpt="best", batch_size=15,
+                                  num_devices=8)
+
+
 def test_predictor_substitutes_xla_for_ring(trained):
     """A ring-trained config serves single-host: the Predictor swaps in the
     numerically identical xla kernel (params are impl-independent)."""

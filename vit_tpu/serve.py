@@ -57,6 +57,7 @@ class Predictor:
         label_norm_stats: Optional[dict] = None,
         batch_size: int = 256,
         quantize: Optional[str] = None,
+        num_devices: Optional[int] = None,
     ) -> None:
         self.module = module
         self.params = params
@@ -82,9 +83,38 @@ class Predictor:
                 "returned in NORMALIZED units"
             )
         _check_quantize_mode(quantize)
+        # Data-parallel serving: shard each inference batch over the mesh
+        # `data` axis (params replicated) — throughput scales with chips for
+        # the MXU-bound image shapes. None = single-device jit (default).
+        jit_kwargs = {}
+        self.mesh = None
+        if num_devices is not None and num_devices > 1:
+            from vit_tpu.parallel.mesh import (
+                batch_sharding,
+                make_mesh,
+                replicated_sharding,
+            )
+
+            self.mesh = make_mesh(num_devices=num_devices)
+            n_shards = self.mesh.shape["data"]
+            if self.batch_size % n_shards:
+                raise ValueError(
+                    f"serving batch_size {self.batch_size} must divide by "
+                    f"the data-parallel degree {n_shards}"
+                )
+            repl = replicated_sharding(self.mesh)
+            bshard = batch_sharding(self.mesh)
+            n_weight_args = 2 if quantize is not None else 1
+            jit_kwargs = dict(
+                in_shardings=(repl,) * n_weight_args + (bshard,),
+                out_shardings=bshard,
+            )
         if quantize is None:
+            if self.mesh is not None:
+                self.params = jax.device_put(self.params, repl)
             self._forward = jax.jit(
-                lambda p, x: module.apply({"params": p}, x, deterministic=True)
+                lambda p, x: module.apply({"params": p}, x, deterministic=True),
+                **jit_kwargs,
             )
         else:
             # int8 encoder weights (vit_tpu.ops.quant): fp32 kernels are
@@ -119,12 +149,19 @@ class Predictor:
                     "UNQUANTIZED at full resident size"
                 )
             self.params = strip_quantized(self.params, self._qtable)
+            if self.mesh is not None:
+                from vit_tpu.parallel.mesh import replicated_sharding
+
+                repl = replicated_sharding(self.mesh)
+                self.params = jax.device_put(self.params, repl)
+                self._qtable = jax.device_put(self._qtable, repl)
             weight_only = quantize == "int8-wo"
             self._forward = jax.jit(
                 lambda p, q, x: quantized_apply(
                     module, {"params": p}, q, x, deterministic=True,
                     weight_only=weight_only,
-                )
+                ),
+                **jit_kwargs,
             )
             self._forward = (
                 lambda p, x, _f=self._forward: _f(p, self._qtable, x)
@@ -140,6 +177,7 @@ class Predictor:
         precision: Optional[str] = None,
         quantize: Optional[str] = None,
         perf_preset: bool = False,
+        num_devices: Optional[int] = None,
     ) -> "Predictor":
         """Build from a YAML config (path or dict) + checkpoint spec.
 
@@ -153,6 +191,8 @@ class Predictor:
         given) + tanh GELU + bf16 softmax accumulation: 1.53x over fp32
         serving on ViT-B/16 batch 128 (BASELINE.md "Serving" table), at the
         same opt-in numerics tradeoffs as the training perf preset.
+        ``num_devices > 1`` serves data-parallel over a mesh (batches
+        sharded on the ``data`` axis, params replicated).
         """
         from vit_tpu.config import load_config
         from vit_tpu.models.builder import get_model
@@ -234,6 +274,7 @@ class Predictor:
             label_norm_stats=meta.get("label_norm_stats"),
             batch_size=batch_size,
             quantize=quantize,
+            num_devices=num_devices,
         )
 
     # -- inference -----------------------------------------------------------
