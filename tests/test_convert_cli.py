@@ -63,3 +63,60 @@ def test_convert_export_import_roundtrip(tiny_config, tmp_path, monkeypatch):
     a = np.asarray(best.params["regressor"]["kernel"])
     b = np.asarray(imported.params["regressor"]["kernel"])
     np.testing.assert_allclose(a, b, rtol=1e-6)
+
+
+def test_finetune_from_imported_checkpoint(tiny_config, tmp_path, monkeypatch,
+                                           capsys):
+    """The pretrained-weights user journey: import a torch state dict to
+    orbax (scripts/convert.py semantics), then train FROM it via
+    Experiment(ckpt_path=...). With lr=0 the 'fine-tune' must end exactly
+    at the imported weights — proving training starts from them, not from
+    a fresh init."""
+    import jax
+
+    from vit_tpu.train.loop import Experiment
+    from vit_tpu.train.torch_bridge import (
+        load_torch_checkpoint,
+        save_torch_checkpoint,
+    )
+
+    monkeypatch.setenv("CKPT_DIR", str(tmp_path / "ckpt"))
+    cfg = dict(tiny_config)
+    cfg["train"] = dict(tiny_config["train"], ep=1, batch_size=16)
+    # lr=0: the fine-tune run applies zero updates, so final == imported
+    cfg["opt"] = {"type": "sgd", "lr": 0.0, "lr_sch": "none"}
+
+    # stage a "pretrained" torch checkpoint (a trained run exported)
+    src = Experiment(dict(cfg, opt={"type": "sgd", "lr": 1e-2,
+                                    "lr_sch": "none"}), seed=0)
+    src.fit()
+    pt = str(tmp_path / "pretrained.pt")
+    save_torch_checkpoint(jax.device_get(src.state.params),
+                          src.bundle.vit_config, pt)
+
+    # import (what scripts/convert.py --import-pt does): params from torch,
+    # fresh optimizer state, step 0
+    imp = Experiment(dict(cfg), seed=1)
+    imp.datamodule.setup("fit")
+    from vit_tpu.train.optim import OptSpec, build_optimizer
+
+    spec = OptSpec.from_config(dict(cfg), 1, monitor_metric=imp.monitor)
+    imp.state = imp._init_state(build_optimizer(spec))
+    params = load_torch_checkpoint(pt, jax.device_get(imp.state.params),
+                                   imp.bundle.vit_config)
+    state = imp.state.replace(params=jax.device_put(params, imp.repl_shard))
+    imp.ckpt.enabled = True
+    orbax_out = str(tmp_path / "imported")
+    os.makedirs(orbax_out, exist_ok=True)
+    imp.ckpt._save(os.path.abspath(orbax_out), state)
+
+    # fine-tune from the imported checkpoint
+    ft = Experiment(dict(cfg), seed=2, ckpt_path=os.path.abspath(orbax_out))
+    metrics = ft.fit()
+    assert "resumed from" in capsys.readouterr().out
+    assert np.isfinite(metrics["train_loss"])
+    for a, b in zip(
+        jax.tree_util.tree_leaves(jax.device_get(ft.state.params)),
+        jax.tree_util.tree_leaves(jax.device_get(src.state.params)),
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-7)
