@@ -207,6 +207,13 @@ class _VmapSweepEngine:
                   "(identical math deterministically; dropout mask streams "
                   "differ; the final run trains with ring)")
             cfg["model"]["attn_impl"] = "xla"
+        if int((cfg.get("train", {}) or {}).get("pipeline_parallel", 1) or 1) > 1:
+            # Same reasoning as ring: the GPipe shard_map can't nest inside
+            # the replica vmap; replicas train the identical math unstaged
+            # (deterministically equal; dropout streams differ under PP).
+            print("[sweep] train.pipeline_parallel -> 1 for the vmapped "
+                  "sweep (identical math; the final run trains pipelined)")
+            cfg["train"]["pipeline_parallel"] = 1
         seed_everything(self.seed)
 
         bundle = get_model(cfg)

@@ -101,20 +101,31 @@ def make_mesh(
     model_parallel: int = 1,
     devices: Optional[Sequence] = None,
     axis_names: Sequence[str] = ("data", "model"),
+    pipeline_parallel: int = 1,
 ) -> Mesh:
-    """Build a ``(data, model)`` mesh over the available devices.
+    """Build a ``(data, model[, pipe])`` mesh over the available devices.
 
     ``num_devices`` caps how many devices participate (reference
     ``train.gpus`` semantics); ``model_parallel`` splits off a TP axis.
+    ``pipeline_parallel > 1`` appends a ``pipe`` axis for GPipe stages
+    (:mod:`vit_tpu.parallel.pipeline`); with the default 1 the mesh stays
+    two-axis so existing shardings/specs are unchanged.
     """
     devs = list(devices if devices is not None else jax.devices())
     if num_devices is not None and num_devices > 0:
         devs = devs[: int(num_devices)]
     n = len(devs)
-    if model_parallel < 1 or n % model_parallel != 0:
+    pp = int(pipeline_parallel)
+    if model_parallel < 1 or pp < 1 or n % (model_parallel * pp) != 0:
         raise ValueError(
-            f"model_parallel={model_parallel} must divide device count {n}"
+            f"model_parallel={model_parallel} x pipeline_parallel={pp} "
+            f"must divide device count {n}"
         )
+    if pp > 1:
+        grid = np.asarray(devs).reshape(
+            n // (model_parallel * pp), model_parallel, pp
+        )
+        return Mesh(grid, axis_names=tuple(axis_names) + ("pipe",))
     grid = np.asarray(devs).reshape(n // model_parallel, model_parallel)
     return Mesh(grid, axis_names=tuple(axis_names))
 

@@ -114,7 +114,7 @@ def _micro_constraint(batch_sharding_):
 
 
 def _make_grads_fn(bundle: ModelBundle, noise_level: float, accum_steps: int = 1,
-                   micro_constraint=None):
+                   micro_constraint=None, apply_fn=None):
     """(params, batch, noise_rng, dropout_rng) -> (loss, grads), shared by the
     per-step and fused-epoch paths.
 
@@ -124,18 +124,27 @@ def _make_grads_fn(bundle: ModelBundle, noise_level: float, accum_steps: int = 1
     draws its own noise/dropout fold; with stochasticity off the result is
     exactly the unaccumulated large-batch gradient (mean of equal-size chunk
     means).
+
+    ``apply_fn(params, x, dropout_rng) -> logits`` overrides the training
+    forward (pipeline parallelism swaps in
+    :func:`vit_tpu.parallel.pipeline.apply_pipelined`); the default is the
+    monolithic ``module.apply``.
     """
     module = bundle.module
     task = bundle.vit_config.task_type
     loss_name = bundle.loss_name
+    if apply_fn is None:
+        def apply_fn(params, x, dropout_rng):
+            return module.apply(
+                {"params": params}, x, deterministic=False,
+                rngs={"dropout": dropout_rng},
+            )
 
     def loss_of(params, batch, noise_rng, dropout_rng):
         x = batch["x"]
         if noise_level > 0 and "error" in batch:
             x = x + jax.random.normal(noise_rng, x.shape, x.dtype) * batch["error"] * noise_level
-        logits = module.apply(
-            {"params": params}, x, deterministic=False, rngs={"dropout": dropout_rng}
-        )
+        logits = apply_fn(params, x, dropout_rng)
         return compute_loss(logits, batch["label"], task, loss_name)
 
     if accum_steps <= 1:
@@ -214,6 +223,7 @@ def make_train_step(
     batch_sharding_=None,
     repl_sharding=None,
     accum_steps: int = 1,
+    apply_fn=None,
 ) -> Callable:
     """Build the jitted training step. Donates the state for in-place HBM reuse.
 
@@ -226,6 +236,7 @@ def make_train_step(
     grads_fn = _make_grads_fn(
         bundle, noise_level, accum_steps,
         micro_constraint=_micro_constraint(batch_sharding_) if accum_steps > 1 else None,
+        apply_fn=apply_fn,
     )
 
     step_body = _make_step_body(grads_fn, tx, spec, schedule, has_preproc)
@@ -260,6 +271,7 @@ def make_train_epoch(
     n_epochs: int = 1,
     accum_steps: int = 1,
     gather_mode: str = "block",
+    apply_fn=None,
 ) -> Callable:
     """Whole-epoch training as ONE dispatch: ``lax.scan`` over steps.
 
@@ -292,6 +304,7 @@ def make_train_epoch(
     grads_fn = _make_grads_fn(
         bundle, noise_level, accum_steps,
         micro_constraint=_micro_constraint(batch_constraint) if accum_steps > 1 else None,
+        apply_fn=apply_fn,
     )
 
     one_step = _make_step_body(grads_fn, tx, spec, schedule, has_preproc)
@@ -566,15 +579,55 @@ class Experiment:
                 f"[experiment] train.sequence_parallel={self.sp} has no "
                 "effect without model.attn_impl: ring"
             )
-        self.mesh = make_mesh(num_devices=num_devices, model_parallel=axis_split)
-        # Keep per-device batch shape static: the data axis must divide batch.
+        # Pipeline parallelism: train.pipeline_parallel splits the encoder's
+        # layers into GPipe stages over a `pipe` mesh axis
+        # (vit_tpu/parallel/pipeline.py); train.pipeline_microbatches (default
+        # = stage count) sets the schedule's microbatch count. Params stay in
+        # the canonical layout — checkpoints/eval/torch-bridge are untouched;
+        # only the training forward is staged.
+        self.pp = int(train_cfg.get("pipeline_parallel", 1) or 1)
+        if self.pp > 1:
+            if self.bundle.vit_config.attn_impl == "ring":
+                raise ValueError(
+                    "model.attn_impl: ring cannot run inside the pipeline "
+                    "(the ring shard_maps the sequence over its own mesh "
+                    "axis); use attn_impl auto/xla/flash with "
+                    "train.pipeline_parallel"
+                )
+            if tp > 1 or self.sp > 1:
+                raise ValueError(
+                    "train.pipeline_parallel composes with data parallelism "
+                    "only; set model_parallel/sequence_parallel to 1"
+                )
+            layers = self.bundle.vit_config.num_hidden_layers
+            if layers % self.pp != 0:
+                raise ValueError(
+                    f"model.num_hidden_layers={layers} must be divisible by "
+                    f"train.pipeline_parallel={self.pp}"
+                )
+        self.pp_microbatches = int(
+            train_cfg.get("pipeline_microbatches", 0) or 0
+        ) or self.pp
+        if self.pp > 1 and self.batch_size % self.pp_microbatches != 0:
+            raise ValueError(
+                f"train.batch_size {self.batch_size} must divide by "
+                f"train.pipeline_microbatches {self.pp_microbatches}"
+            )
+        self.mesh = make_mesh(
+            num_devices=num_devices, model_parallel=axis_split,
+            pipeline_parallel=self.pp,
+        )
+        # Keep per-device batch shape static: the data axis must divide batch
+        # (under PP, each MICROBATCH's rows are what the data axis splits).
         n_data = self.mesh.shape.get("data", 1)
-        data_par = math.gcd(self.batch_size, n_data)
+        rows = self.batch_size // self.pp_microbatches if self.pp > 1 else self.batch_size
+        data_par = math.gcd(rows, n_data)
         if data_par != n_data:
-            print(f"[experiment] batch {self.batch_size} not divisible by "
+            print(f"[experiment] batch rows {rows} not divisible by "
                   f"{n_data} data shards; using {data_par}")
             self.mesh = make_mesh(
-                num_devices=data_par * axis_split, model_parallel=axis_split
+                num_devices=data_par * axis_split * self.pp,
+                model_parallel=axis_split, pipeline_parallel=self.pp,
             )
         # The active mesh (ring attention reads it at trace time) is scoped
         # to the tracing entry points via @_with_mesh — never left set after
@@ -604,6 +657,30 @@ class Experiment:
         self.callback_metrics: Dict[str, float] = {}
 
     # -- construction helpers -------------------------------------------
+    def _train_apply_fn(self):
+        """Training-forward override: the GPipe-staged encoder when
+        ``train.pipeline_parallel > 1``, else None (monolithic apply).
+
+        Eval/val/capture keep the monolithic forward on the same canonical
+        params — identical results, and viz capture stays supported.
+        """
+        if self.pp <= 1:
+            return None
+        from vit_tpu.parallel.pipeline import apply_pipelined
+
+        module = self.bundle.module
+        mesh, m = self.mesh, self.pp_microbatches
+        batch_axis = "data" if self.mesh.shape.get("data", 1) > 1 else None
+
+        def apply_fn(params, x, dropout_rng):
+            return apply_pipelined(
+                module, params, x, mesh=mesh, num_microbatches=m,
+                batch_axis=batch_axis, deterministic=False,
+                rngs={"dropout": dropout_rng},
+            )
+
+        return apply_fn
+
     @_with_mesh
     def _init_state(self, tx) -> TrainState:
         cfg = self.bundle.vit_config
@@ -906,6 +983,7 @@ class Experiment:
                 steps_per_epoch, self.state_shard, batch_constraint,
                 with_val=fused_val, repl_sharding=self.repl_shard,
                 accum_steps=self.accum_steps, gather_mode=gather_mode,
+                apply_fn=self._train_apply_fn(),
             )
             # Multi-epoch blocks (train.epochs_per_dispatch > 1): N epochs in
             # ONE dispatch, amortizing the host round-trip. Per-epoch val
@@ -924,7 +1002,7 @@ class Experiment:
                     steps_per_epoch, self.state_shard, batch_constraint,
                     with_val=fused_val, repl_sharding=self.repl_shard,
                     n_epochs=epd, accum_steps=self.accum_steps,
-                    gather_mode=gather_mode,
+                    gather_mode=gather_mode, apply_fn=self._train_apply_fn(),
                 )
                 if use_blocks
                 else None
@@ -958,7 +1036,7 @@ class Experiment:
             train_step = make_train_step(
                 self.bundle, tx, spec, self.noise_level, self.state_shard,
                 self.batch_shard, repl_sharding=self.repl_shard,
-                accum_steps=self.accum_steps,
+                accum_steps=self.accum_steps, apply_fn=self._train_apply_fn(),
             )
 
         start_epoch = 0
