@@ -226,6 +226,32 @@ def test_experiment_pipeline_per_step_path(tiny_config, tmp_path, monkeypatch):
     assert m_pp["val_mae"] == pytest.approx(m_ref["val_mae"], rel=2e-3)
 
 
+def test_experiment_pipeline_with_grad_accumulation(
+    tiny_config, tmp_path, monkeypatch
+):
+    """The pipelined forward sees batch/accum_steps rows; the schedule and
+    the data-axis split must be validated (and work) against THAT size."""
+    from vit_tpu.train.loop import Experiment
+
+    monkeypatch.setenv("CKPT_DIR", str(tmp_path / "ckpt"))
+    m_ref = Experiment(
+        _pp_experiment_config(tiny_config, 1, accumulate_steps=2), seed=0
+    ).fit()
+    m_pp = Experiment(
+        _pp_experiment_config(
+            tiny_config, 2, accumulate_steps=2, pipeline_microbatches=2
+        ),
+        seed=0,
+    ).fit()
+    assert m_pp["val_mae"] == pytest.approx(m_ref["val_mae"], rel=2e-3)
+
+    bad = _pp_experiment_config(
+        tiny_config, 2, accumulate_steps=2, pipeline_microbatches=3
+    )
+    with pytest.raises(ValueError, match="per-forward batch"):
+        Experiment(bad, seed=0)
+
+
 def test_experiment_pipeline_rejections(tiny_config):
     from vit_tpu.train.loop import Experiment
 

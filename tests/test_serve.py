@@ -205,6 +205,17 @@ def test_predict_data_parallel_rejects_indivisible_batch(trained):
                                   num_devices=8)
 
 
+def test_predict_rejects_more_devices_than_available(trained):
+    """Requesting more shards than devices must fail loudly, not silently
+    serve at a lower data-parallel degree."""
+    import pytest
+
+    _, cfg = trained
+    with pytest.raises(ValueError, match="only .* devices are available"):
+        Predictor.from_checkpoint(dict(cfg), ckpt="best", batch_size=16,
+                                  num_devices=16)
+
+
 def test_predictor_substitutes_xla_for_ring(trained):
     """A ring-trained config serves single-host: the Predictor swaps in the
     numerically identical xla kernel (params are impl-independent)."""

@@ -40,7 +40,6 @@ design reserved in SURVEY §2.9's parallelism checklist.
 
 from __future__ import annotations
 
-import functools
 from typing import Any, Dict, Optional
 
 import jax

@@ -95,6 +95,12 @@ class Predictor:
                 replicated_sharding,
             )
 
+            n_avail = len(jax.devices())
+            if num_devices > n_avail:
+                raise ValueError(
+                    f"num_devices={num_devices} requested but only "
+                    f"{n_avail} devices are available"
+                )
             self.mesh = make_mesh(num_devices=num_devices)
             n_shards = self.mesh.shape["data"]
             if self.batch_size % n_shards:
@@ -150,9 +156,6 @@ class Predictor:
                 )
             self.params = strip_quantized(self.params, self._qtable)
             if self.mesh is not None:
-                from vit_tpu.parallel.mesh import replicated_sharding
-
-                repl = replicated_sharding(self.mesh)
                 self.params = jax.device_put(self.params, repl)
                 self._qtable = jax.device_put(self._qtable, repl)
             weight_only = quantize == "int8-wo"

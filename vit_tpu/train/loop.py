@@ -608,10 +608,23 @@ class Experiment:
         self.pp_microbatches = int(
             train_cfg.get("pipeline_microbatches", 0) or 0
         ) or self.pp
-        if self.pp > 1 and self.batch_size % self.pp_microbatches != 0:
+        if self.pp <= 1 and int(
+            train_cfg.get("pipeline_microbatches", 0) or 0
+        ) > 0:
+            print(
+                "[experiment] train.pipeline_microbatches has no effect "
+                "without train.pipeline_parallel > 1"
+            )
+        # The pipelined forward sees the PER-FORWARD batch: with gradient
+        # accumulation that is batch_size/accum_steps rows, and each of the
+        # M microbatches must still split over the data axis.
+        fwd_batch = self.batch_size // self.accum_steps
+        if self.pp > 1 and fwd_batch % self.pp_microbatches != 0:
             raise ValueError(
-                f"train.batch_size {self.batch_size} must divide by "
-                f"train.pipeline_microbatches {self.pp_microbatches}"
+                f"the per-forward batch {fwd_batch} (train.batch_size "
+                f"{self.batch_size} / accumulate_steps {self.accum_steps}) "
+                f"must divide by train.pipeline_microbatches "
+                f"{self.pp_microbatches}"
             )
         self.mesh = make_mesh(
             num_devices=num_devices, model_parallel=axis_split,
@@ -620,7 +633,7 @@ class Experiment:
         # Keep per-device batch shape static: the data axis must divide batch
         # (under PP, each MICROBATCH's rows are what the data axis splits).
         n_data = self.mesh.shape.get("data", 1)
-        rows = self.batch_size // self.pp_microbatches if self.pp > 1 else self.batch_size
+        rows = fwd_batch // self.pp_microbatches if self.pp > 1 else self.batch_size
         data_par = math.gcd(rows, n_data)
         if data_par != n_data:
             print(f"[experiment] batch rows {rows} not divisible by "
