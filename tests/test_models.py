@@ -257,6 +257,44 @@ def test_attention_softmax_dtype_knob():
     assert got.dtype == ref.dtype  # output dtype governed by self.dtype
 
 
+def test_attention_fused_qkv_knob():
+    """model.fused_qkv: one (D, 3D) projection — identical math, identical
+    param layout AND init values (the q/k/v kernels keep their own scopes,
+    so the init RNG folds are unchanged)."""
+    import jax
+    import jax.numpy as jnp
+
+    from vit_tpu.models.attention import MultiHeadSelfAttention
+
+    x = jnp.asarray(
+        np.random.default_rng(1).standard_normal((2, 9, 32)), jnp.float32
+    )
+    kw = dict(hidden_size=32, num_heads=2, dropout_rate=0.0,
+              out_dropout_rate=0.0, impl="xla")
+    m_sep = MultiHeadSelfAttention(**kw)
+    m_fused = MultiHeadSelfAttention(**kw, fused_qkv=True)
+    p_sep = m_sep.init(jax.random.PRNGKey(0), x)
+    p_fused = m_fused.init(jax.random.PRNGKey(0), x)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a), np.asarray(b)),
+        p_sep, p_fused,
+    )
+    ref = np.asarray(m_sep.apply(p_sep, x, deterministic=True))
+    got = np.asarray(m_fused.apply(p_sep, x, deterministic=True))
+    np.testing.assert_allclose(got, ref, rtol=1e-6, atol=1e-6)
+
+    # no-bias variant keeps the layout contract too
+    kwb = dict(kw, qkv_bias=False)
+    pb = MultiHeadSelfAttention(**kwb).init(jax.random.PRNGKey(0), x)
+    gotb = MultiHeadSelfAttention(**kwb, fused_qkv=True).apply(
+        pb, x, deterministic=True
+    )
+    refb = MultiHeadSelfAttention(**kwb).apply(pb, x, deterministic=True)
+    np.testing.assert_allclose(
+        np.asarray(gotb), np.asarray(refb), rtol=1e-6, atol=1e-6
+    )
+
+
 def test_image_cls_token_standard_init(tiny_config):
     """Image family uses the standard-ViT 0.02 init for cls_token (the
     spectra family's std-1.0 is a deliberate reference quirk that must not

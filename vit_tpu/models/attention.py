@@ -70,6 +70,30 @@ def select_attn_impl(impl: str, seq_len: int, head_dim: int) -> str:
     return impl
 
 
+class _DenseDecl(nn.Module):
+    """Declares an ``nn.Dense``-identical parameter set (names, shapes,
+    init, RNG fold — the scope path is what seeds the init stream) without
+    running the matmul; the fused-QKV path consumes the three sets through
+    ONE concatenated projection while the checkpoint layout stays the
+    plain-Dense one."""
+
+    features_in: int
+    features_out: int
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self):
+        kernel = self.param(
+            "kernel", KERNEL_INIT, (self.features_in, self.features_out)
+        )
+        bias = (
+            self.param("bias", nn.initializers.zeros, (self.features_out,))
+            if self.use_bias
+            else None
+        )
+        return kernel, bias
+
+
 class MultiHeadSelfAttention(nn.Module):
     """Self-attention block = QKV projection + kernel + output projection.
 
@@ -97,6 +121,11 @@ class MultiHeadSelfAttention(nn.Module):
     # it stays numerically stable). Ignored by flash/ring, which never
     # materialize the score tensor and always accumulate fp32.
     softmax_dtype: Optional[str] = None
+    # One (D, 3D) projection instead of three (D, D) matmuls: same math and
+    # the SAME parameter/checkpoint layout (q/k/v kernels stay separate
+    # leaves, concatenated inside the step). Measured neutral at hidden 32
+    # (BASELINE.md probe 2/3); re-probed at B/16 scale round 4.
+    fused_qkv: bool = False
 
     @nn.compact
     def __call__(
@@ -124,9 +153,22 @@ class MultiHeadSelfAttention(nn.Module):
         def split_heads(t):
             return t.reshape(batch, seq_len, self.num_heads, head_dim).transpose(0, 2, 1, 3)
 
-        q = split_heads(dense("query")(x))
-        k = split_heads(dense("key")(x))
-        v = split_heads(dense("value")(x))
+        if self.fused_qkv:
+            decls = [
+                _DenseDecl(x.shape[-1], self.hidden_size, self.qkv_bias, name=n)()
+                for n in ("query", "key", "value")
+            ]
+            w = jnp.concatenate([d[0] for d in decls], axis=1).astype(self.dtype)
+            qkv = x.astype(self.dtype) @ w
+            if self.qkv_bias:
+                qkv = qkv + jnp.concatenate(
+                    [d[1] for d in decls]
+                ).astype(self.dtype)
+            q, k, v = (split_heads(t) for t in jnp.split(qkv, 3, axis=-1))
+        else:
+            q = split_heads(dense("query")(x))
+            k = split_heads(dense("key")(x))
+            v = split_heads(dense("value")(x))
 
         if self.use_rope:
             cos, sin = rope_tables(seq_len, head_dim, base=self.rope_base, dtype=q.dtype)

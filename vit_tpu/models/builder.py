@@ -109,6 +109,9 @@ class VitConfig:
     # on the dispatch-bound baseline; different RNG stream than nn.Dropout
     # (semantic parity). Set model.fast_dropout: false for threefry/rbg.
     fast_dropout: bool = True
+    # One (D, 3D) QKV projection instead of three (D, D) matmuls — same
+    # math, same checkpoint layout (kernels concatenated inside the step).
+    fused_qkv: bool = False
     # Fused Pallas MLP kernel (vit_tpu.ops.fused_mlp): dense->GELU->dense in
     # one HBM round trip. Measured SLOWER on the baseline (105.7 vs 97.5
     # ms/epoch: per-call overhead matches the ops it replaces at this tiny
@@ -273,6 +276,7 @@ def get_vit_config(config: dict) -> VitConfig:
         gelu_approximate=bool(m.get("gelu_approximate", False)),
         softmax_dtype=m.get("softmax_dtype") or None,
         fused_mlp=bool(m.get("fused_mlp", False)),
+        fused_qkv=bool(m.get("fused_qkv", False)),
     )
 
 

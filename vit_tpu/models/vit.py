@@ -216,6 +216,7 @@ class ViTLayer(nn.Module):
             fast_dropout=getattr(cfg, "fast_dropout", True),
             ring_block_k=getattr(cfg, "ring_block_k", None),
             softmax_dtype=getattr(cfg, "softmax_dtype", None),
+            fused_qkv=getattr(cfg, "fused_qkv", False),
             name="attention",
         )
         x = x + attn(h, deterministic=deterministic, capture_probs=capture)
