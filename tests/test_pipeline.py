@@ -252,6 +252,56 @@ def test_experiment_pipeline_with_grad_accumulation(
         Experiment(bad, seed=0)
 
 
+def test_experiment_pipeline_with_preprocessor_freeze(
+    tiny_config, tmp_path, monkeypatch
+):
+    """Preprocessor freeze masks grads/updates OUTSIDE the forward, so it
+    must behave identically whether the encoder is pipelined or not: the
+    frozen PCA projection stays bit-identical through training under PP."""
+    import copy
+
+    from vit_tpu.data.hdf5 import load_spectra
+    from vit_tpu.prepca.stats import compute_covariance_stats
+    from vit_tpu.train.loop import Experiment
+    from vit_tpu.utils import clear_cov_cache
+
+    clear_cov_cache()
+    flux = load_spectra(tiny_config["data"]["file_path"], 96)["flux"]
+    cov = str(tmp_path / "cov.npz")
+    compute_covariance_stats(flux, save_path=cov)
+
+    monkeypatch.setenv("CKPT_DIR", str(tmp_path / "ckpt"))
+    cfg = copy.deepcopy(_pp_experiment_config(tiny_config, 2))
+    cfg["warmup"] = {
+        "cov_path": cov, "preprocessor": "pca", "r": 64, "freeze_epochs": -1
+    }
+    exp = Experiment(cfg, seed=0)
+    p0 = np.asarray(
+        jax.tree_util.tree_leaves(exp.bundle.module.init(
+            jax.random.PRNGKey(0), jnp.zeros((1, 512))
+        )["params"]["preprocessor"])[0]
+    )
+    metrics = exp.fit()
+    assert np.isfinite(metrics["train_loss"])
+    p1 = np.asarray(
+        jax.tree_util.tree_leaves(exp.state.params["preprocessor"])[0]
+    )
+    np.testing.assert_array_equal(p0, p1)
+
+
+def test_experiment_pipeline_with_noise(tiny_config, tmp_path, monkeypatch):
+    """On-the-fly noise injection happens before the pipelined forward;
+    training must run and stay finite with noise_level > 0 under PP."""
+    from vit_tpu.train.loop import Experiment
+
+    monkeypatch.setenv("CKPT_DIR", str(tmp_path / "ckpt"))
+    cfg = _pp_experiment_config(tiny_config, 2)
+    cfg["noise"] = {"noise_level": 0.5}
+    metrics = Experiment(cfg, seed=0).fit()
+    assert np.isfinite(metrics["train_loss"])
+    assert np.isfinite(metrics["val_mae"])
+
+
 def test_experiment_pipeline_rejections(tiny_config):
     from vit_tpu.train.loop import Experiment
 

@@ -112,6 +112,16 @@ class VitConfig:
     # One (D, 3D) QKV projection instead of three (D, D) matmuls — same
     # math, same checkpoint layout (kernels concatenated inside the step).
     fused_qkv: bool = False
+    # Mixture-of-Experts MLP (vit_tpu.models.moe): 0/1 = dense (reference
+    # semantics), E > 1 replaces each layer's MLP with E experts + top-k
+    # router. Expert-stacked params shard over the mesh `model` axis
+    # (expert parallelism, train.model_parallel).
+    moe_experts: int = 0
+    moe_top_k: int = 1
+    moe_capacity_factor: float = 1.25
+    # Weight of the Switch load-balance auxiliary loss in the training
+    # objective (eval losses exclude it).
+    moe_aux_weight: float = 0.01
     # Fused Pallas MLP kernel (vit_tpu.ops.fused_mlp): dense->GELU->dense in
     # one HBM round trip. Measured SLOWER on the baseline (105.7 vs 97.5
     # ms/epoch: per-call overhead matches the ops it replaces at this tiny
@@ -174,7 +184,18 @@ def step_matmul_flops(
     else:
         patch_in = vc.patch_size
     embed = 2.0 * vc.num_patches * patch_in * H
-    per_layer = 8.0 * T * H * H + 4.0 * T * T * H + 4.0 * T * H * inter
+    if getattr(vc, "moe_experts", 0) > 1:
+        # MoE MLP: experts process E*C slot-tokens per row (C = per-row
+        # capacity) instead of T, plus the (T, H)@(H, E) router.
+        from vit_tpu.models.moe import moe_capacity
+
+        slots = vc.moe_experts * moe_capacity(
+            T, vc.moe_experts, vc.moe_top_k, vc.moe_capacity_factor
+        )
+        mlp = 4.0 * slots * H * inter + 2.0 * T * H * vc.moe_experts
+    else:
+        mlp = 4.0 * T * H * inter
+    per_layer = 8.0 * T * H * H + 4.0 * T * T * H + mlp
     head = 2.0 * H * vc.num_labels
     fwd = batch_size * (L * per_layer + embed + head)
     return 3.0 * fwd if train else fwd
@@ -205,6 +226,10 @@ def build_model_name(cfg: VitConfig, model_prefix: str = "ViT", full_config: Opt
         f"{model_prefix}_p{cfg.patch_size}_h{cfg.hidden_size}_l{cfg.num_hidden_layers}_"
         f"a{cfg.num_attention_heads}_s{stride_tag}_p{cfg.proj_fn}"
     )
+    if getattr(cfg, "moe_experts", 0) > 1:
+        # rebuild-only family tag: MoE checkpoints must not collide with
+        # the dense model of the same geometry
+        name += f"_moe{cfg.moe_experts}"
     if full_config is not None:
         noise_level = (full_config.get("noise", {}) or {}).get("noise_level", 0)
         if noise_level and noise_level > 0:
@@ -277,6 +302,10 @@ def get_vit_config(config: dict) -> VitConfig:
         softmax_dtype=m.get("softmax_dtype") or None,
         fused_mlp=bool(m.get("fused_mlp", False)),
         fused_qkv=bool(m.get("fused_qkv", False)),
+        moe_experts=int(m.get("moe_experts", 0) or 0),
+        moe_top_k=int(m.get("moe_top_k", 1) or 1),
+        moe_capacity_factor=float(m.get("moe_capacity_factor", 1.25) or 1.25),
+        moe_aux_weight=float(m.get("moe_aux_weight", 0.01) or 0.0),
     )
 
 

@@ -222,7 +222,16 @@ class ViTLayer(nn.Module):
         x = x + attn(h, deterministic=deterministic, capture_probs=capture)
 
         h = nn.LayerNorm(epsilon=LN_EPS, dtype=cfg.dtype, name="layernorm_after")(x)
-        if getattr(cfg, "fused_mlp", False) and not capture:
+        if getattr(cfg, "moe_experts", 0) > 1:
+            # Mixture-of-Experts MLP (rebuild-only family): E expert MLPs +
+            # top-k router; the load-balance aux loss is sown into the
+            # `losses` collection (collected by the training loss only).
+            # No mlp_activation capture — the per-expert (E, B, C, F)
+            # activations have no dense-path analogue.
+            from vit_tpu.models.moe import MoEMLP
+
+            h = MoEMLP(cfg, name="moe")(h, deterministic=deterministic)
+        elif getattr(cfg, "fused_mlp", False) and not capture:
             # Fused dense->GELU->dense Pallas kernel: one HBM round trip
             # (BASELINE.md probe 7 — the unfused MLP is HBM-round-trip
             # bound). Params declared with nn.Dense-identical layout; the

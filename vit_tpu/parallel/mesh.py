@@ -156,8 +156,24 @@ def infer_param_shardings(params, mesh: Mesh):
     this degenerates to pure data parallelism (the reference's only mode).
     """
     tp = mesh.shape.get("model", 1)
+    _MOE_EXPERT_LEAVES = {"wi", "wi_bias", "wo", "wo_bias"}
 
     def rule(path, leaf):
+        names = [getattr(k, "key", getattr(k, "name", "")) for k in path]
+        if (
+            tp > 1
+            and hasattr(leaf, "ndim")
+            and "moe" in names
+            and names
+            and names[-1] in _MOE_EXPERT_LEAVES
+            and leaf.shape[0] % tp == 0
+        ):
+            # Expert parallelism: the stacked expert dim shards over
+            # `model` — each device holds E/K experts; GSPMD inserts the
+            # token all-to-alls around the expert einsums.
+            return NamedSharding(
+                mesh, P(*(["model"] + [None] * (leaf.ndim - 1)))
+            )
         if (
             tp > 1
             and hasattr(leaf, "ndim")

@@ -133,19 +133,43 @@ def _make_grads_fn(bundle: ModelBundle, noise_level: float, accum_steps: int = 1
     module = bundle.module
     task = bundle.vit_config.task_type
     loss_name = bundle.loss_name
+    # MoE: the Switch load-balance loss is sown into the `losses` collection
+    # by each layer's router; collect it here (training objective only —
+    # eval metrics exclude the regularizer).
+    moe_aux_w = (
+        float(getattr(bundle.vit_config, "moe_aux_weight", 0.0) or 0.0)
+        if getattr(bundle.vit_config, "moe_experts", 0) > 1
+        else 0.0
+    )
     if apply_fn is None:
-        def apply_fn(params, x, dropout_rng):
-            return module.apply(
-                {"params": params}, x, deterministic=False,
-                rngs={"dropout": dropout_rng},
-            )
+        if moe_aux_w > 0.0:
+            def apply_fn(params, x, dropout_rng):
+                logits, cols = module.apply(
+                    {"params": params}, x, deterministic=False,
+                    rngs={"dropout": dropout_rng}, mutable=["losses"],
+                )
+                aux_leaves = jax.tree_util.tree_leaves(cols["losses"])
+                aux = sum(jnp.mean(a) for a in aux_leaves) / max(
+                    len(aux_leaves), 1
+                )
+                return logits, aux
+        else:
+            def apply_fn(params, x, dropout_rng):
+                return module.apply(
+                    {"params": params}, x, deterministic=False,
+                    rngs={"dropout": dropout_rng},
+                )
 
     def loss_of(params, batch, noise_rng, dropout_rng):
         x = batch["x"]
         if noise_level > 0 and "error" in batch:
             x = x + jax.random.normal(noise_rng, x.shape, x.dtype) * batch["error"] * noise_level
-        logits = apply_fn(params, x, dropout_rng)
-        return compute_loss(logits, batch["label"], task, loss_name)
+        out = apply_fn(params, x, dropout_rng)
+        logits, aux = out if isinstance(out, tuple) else (out, 0.0)
+        return (
+            compute_loss(logits, batch["label"], task, loss_name)
+            + moe_aux_w * aux
+        )
 
     if accum_steps <= 1:
         def grads_fn(params, batch, noise_rng, dropout_rng):
@@ -598,6 +622,13 @@ class Experiment:
                 raise ValueError(
                     "train.pipeline_parallel composes with data parallelism "
                     "only; set model_parallel/sequence_parallel to 1"
+                )
+            if getattr(self.bundle.vit_config, "moe_experts", 0) > 1:
+                raise ValueError(
+                    "model.moe_experts cannot compose with "
+                    "train.pipeline_parallel yet (the router's load-balance "
+                    "loss is sown outside the pipeline's shard_map); use "
+                    "expert parallelism via train.model_parallel instead"
                 )
             layers = self.bundle.vit_config.num_hidden_layers
             if layers % self.pp != 0:

@@ -65,6 +65,13 @@ def _ln_out(prefix: str, node: dict, out: Dict[str, np.ndarray]) -> None:
 
 def to_torch_state_dict(params: Dict[str, Any], vit_config) -> Dict[str, np.ndarray]:
     """Flax param tree -> reference torch state-dict (numpy values)."""
+    if getattr(vit_config, "moe_experts", 0) > 1:
+        raise ValueError(
+            "MoE models (model.moe_experts > 1) have no reference/HF ViT "
+            "counterpart — the expert-stacked MLP cannot map to the "
+            "intermediate/output dense pair. Export is only defined for "
+            "the dense family."
+        )
     out: Dict[str, np.ndarray] = {}
 
     emb = params["embeddings"]
@@ -132,6 +139,12 @@ def from_torch_state_dict(
 ) -> Dict[str, Any]:
     """Reference torch state-dict -> Flax param tree (template ``params``
     supplies structure/dtypes; returns a new tree)."""
+    if getattr(vit_config, "moe_experts", 0) > 1:
+        raise ValueError(
+            "MoE models (model.moe_experts > 1) cannot import dense "
+            "reference/HF checkpoints — the expert-stacked MLP has no "
+            "source weights there."
+        )
     sd = {k: _np(v) for k, v in state_dict.items()}
     import jax
 
