@@ -212,6 +212,32 @@ def test_moe_rejections_and_flops(tiny_config):
     assert moe > dense
 
 
+def test_moe_checkpoint_serves(tiny_config, tmp_path, monkeypatch):
+    """MoE checkpoints round-trip through orbax and serve via Predictor
+    (the sown aux loss never reaches the serving forward)."""
+    from vit_tpu.serve import Predictor
+    from vit_tpu.train.loop import Experiment
+
+    monkeypatch.setenv("CKPT_DIR", str(tmp_path / "ckpt"))
+    cfg = dict(tiny_config)
+    cfg["model"] = dict(
+        tiny_config["model"], moe_experts=4, moe_top_k=2,
+        moe_capacity_factor=2.0,
+    )
+    cfg["train"] = dict(tiny_config["train"], ep=2, batch_size=16, save=True)
+    exp = Experiment(cfg, seed=0)
+    exp.fit()
+    pred = Predictor.from_checkpoint(dict(cfg), ckpt="last", batch_size=16)
+    flux = exp.datamodule.val.flux[:16]
+    logits = pred._batched_logits(flux)
+    direct = np.asarray(
+        exp.bundle.module.apply(
+            {"params": exp.state.params}, flux, deterministic=True
+        )
+    )
+    np.testing.assert_allclose(logits, direct, rtol=1e-5, atol=1e-6)
+
+
 def test_moe_deterministic_eval_reproducible():
     """Eval forwards (no mutable collections) run the MoE path and are
     deterministic; the sown aux loss is silently dropped as designed."""
