@@ -316,6 +316,16 @@ def bench_image_family():
             "gelu_approximate": True, "softmax_dtype": "bfloat16",
             "_moment_dtype": "bf16",
         }, 64),
+        # MoE family anchor: 8-expert top-2 S/16 (120.6M params, 5.7x the
+        # dense capacity) — single-chip, all experts local (no EP). Measured
+        # disposition in BASELINE.md "MoE family": capacity lever, not a
+        # throughput lever; 45 TF/s achieved on the E*C slot FLOPs.
+        ("vit_s16_moe8_top2", {
+            "name": "vit-s16", "task_type": "cls", "input_kind": "image",
+            "image_size": 32, "patch_size": 4, "num_labels": 10,
+            "num_channels": 3, "pos_encoding_type": "learned",
+            "moe_experts": 8, "moe_top_k": 2, "moe_capacity_factor": 1.25,
+        }, 128),
     ]
     for tag, mcfg, batch in cases:
         mcfg = dict(mcfg)
@@ -338,11 +348,21 @@ def bench_image_family():
         tx = build_optimizer(spec)
         opt_state = tx.init(params)
 
+        moe = getattr(vc, "moe_experts", 0) > 1
+
         def one_step(carry, _):
             params, opt_state, key = carry
             key, dr = jax.random.split(key)
 
             def loss_fn(p):
+                if moe:
+                    logits, cols = bundle.module.apply(
+                        {"params": p}, x, deterministic=False,
+                        rngs={"dropout": dr}, mutable=["losses"],
+                    )
+                    leaves = jax.tree_util.tree_leaves(cols["losses"])
+                    aux = sum(jnp.mean(a) for a in leaves) / max(len(leaves), 1)
+                    return compute_loss(logits, y, "cls", "ce") + 0.01 * aux
                 logits = bundle.module.apply(
                     {"params": p}, x, deterministic=False, rngs={"dropout": dr}
                 )

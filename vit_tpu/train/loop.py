@@ -646,6 +646,22 @@ class Experiment:
                 "[experiment] train.pipeline_microbatches has no effect "
                 "without train.pipeline_parallel > 1"
             )
+        # ZeRO-1-style optimizer-state sharding (rebuild-only, TPU-native):
+        # train.opt_state_sharding shards every >=1-D optimizer-state leaf
+        # (AdamW mu/nu and friends) over the `data` mesh axis on its leading
+        # dim. Params stay replicated; the per-step update math is
+        # elementwise per leaf, so each device updates only its 1/dp slice
+        # and GSPMD all-gathers the param deltas — the classic ZeRO-1
+        # memory/traffic trade. Cuts resident optimizer state from 2x to
+        # 2/dp x param bytes (fp32 AdamW; B/16 on 8 chips: 688 MB -> 86 MB).
+        self.zero1 = bool(train_cfg.get("opt_state_sharding", False))
+        if self.zero1 and axis_split > 1:
+            raise ValueError(
+                "train.opt_state_sharding composes with data/pipeline "
+                "parallelism only: under model_parallel the moments already "
+                "inherit the tensor-parallel layouts; set model_parallel/"
+                "sequence_parallel to 1"
+            )
         # The pipelined forward sees the PER-FORWARD batch: with gradient
         # accumulation that is batch_size/accum_steps rows, and each of the
         # M microbatches must still split over the data axis.
@@ -783,10 +799,37 @@ class Experiment:
             )
             self.state_shard = jax.tree_util.tree_map(lambda x: x.sharding, state)
             return state
+        opt_state = tx.init(params)
+        if self.zero1 and self.mesh.shape.get("data", 1) > 1:
+            # ZeRO-1: moments shard their leading dim over `data`; params
+            # and scalar counts replicate. Sharding is layout only — the
+            # update is elementwise per leaf, so training math is unchanged
+            # (tests/test_zero1.py pins parity against the replicated path).
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            dp = self.mesh.shape["data"]
+
+            def shard_leaf(x):
+                if getattr(x, "ndim", 0) >= 1 and x.shape[0] % dp == 0:
+                    spec = P(*(["data"] + [None] * (x.ndim - 1)))
+                    return jax.device_put(x, NamedSharding(self.mesh, spec))
+                return jax.device_put(x, self.repl_shard)
+
+            opt_state = jax.tree_util.tree_map(shard_leaf, opt_state)
+            state = TrainState(
+                step=jax.device_put(jnp.zeros((), jnp.int32), self.repl_shard),
+                params=jax.device_put(params, self.repl_shard),
+                opt_state=opt_state,
+                rng=jax.device_put(state_rng, self.repl_shard),
+                plateau_scale=self._scalar(1.0),
+                frozen=self._scalar(0.0),
+            )
+            self.state_shard = jax.tree_util.tree_map(lambda x: x.sharding, state)
+            return state
         state = TrainState(
             step=jnp.zeros((), jnp.int32),
             params=params,
-            opt_state=tx.init(params),
+            opt_state=opt_state,
             rng=state_rng,
             plateau_scale=jnp.ones((), jnp.float32),
             frozen=jnp.zeros((), jnp.float32),
