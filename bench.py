@@ -455,8 +455,15 @@ def bench_serving():
 def main() -> None:
     import jax as _jax
 
+    from vit_tpu.hardware import enable_compilation_cache
+
     if _jax.default_backend() == "tpu":
         _jax.config.update("jax_default_prng_impl", "rbg")  # fast dropout masks
+    # Production default: persistent executable cache. Steady-state numbers
+    # are unaffected (they amortize inside dispatches after a warm call);
+    # the sweep wall-clock metric includes compile, so BASELINE.md records
+    # its cold and warm readings separately.
+    enable_compilation_cache()
 
     setup_log = io.StringIO()
     with contextlib.redirect_stdout(setup_log):

@@ -19,7 +19,55 @@ __all__ = [
     "select_accelerator_and_devices",
     "get_training_strategy",
     "get_prefetch_depth",
+    "enable_compilation_cache",
 ]
+
+
+_CACHE_ENABLED_DIR: Optional[str] = None
+
+
+def enable_compilation_cache(config: Optional[dict] = None) -> Optional[str]:
+    """Persistent XLA compilation-cache setup (``jax_compilation_cache_dir``).
+
+    Remote TPU compiles cost 20 s–3 min per program in this deployment
+    (BASELINE.md protocol notes); the persistent cache stores serialized
+    executables on disk so every re-run of an already-compiled
+    (program, shapes) pair skips XLA entirely — measured through the axon
+    tunnel it turns the verify-config first epoch from ~12 s into
+    sub-second. No reference analogue (torch recompiles kernels per
+    process; `/root/reference/src/hardware_utils.py` has no cache).
+
+    Enabled by default for every entry point (``Experiment``,
+    ``Predictor.from_checkpoint``, ``bench.py``); disable with
+    ``train.compilation_cache: false`` or ``VIT_TPU_NO_CACHE=1``. Location:
+    ``$JAX_CACHE_DIR`` > ``$XDG_CACHE_HOME/vit_tpu/xla`` >
+    ``~/.cache/vit_tpu/xla``. Returns the cache dir, or None if disabled.
+    Idempotent; first call wins (jax pins the dir at first use).
+    """
+    global _CACHE_ENABLED_DIR
+    train_cfg = (config or {}).get("train", {}) or {}
+    if not bool(train_cfg.get("compilation_cache", True)):
+        return None
+    if os.environ.get("VIT_TPU_NO_CACHE"):
+        return None
+    if _CACHE_ENABLED_DIR is not None:
+        return _CACHE_ENABLED_DIR
+    cache_dir = os.environ.get("JAX_CACHE_DIR")
+    if not cache_dir:
+        base = os.environ.get("XDG_CACHE_HOME") or os.path.join(
+            os.path.expanduser("~"), ".cache"
+        )
+        cache_dir = os.path.join(base, "vit_tpu", "xla")
+    try:
+        os.makedirs(cache_dir, exist_ok=True)
+        import jax
+
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+    except (OSError, AttributeError) as e:  # unwritable dir / old jax
+        print(f"[hardware] compilation cache disabled ({e})")
+        return None
+    _CACHE_ENABLED_DIR = cache_dir
+    return cache_dir
 
 
 def detect_accelerators() -> Dict[str, object]:

@@ -577,9 +577,13 @@ class ParallelSweepRunner:
         skip_test: bool = True,
     ) -> None:
         from vit_tpu.config import load_config
+        from vit_tpu.hardware import enable_compilation_cache
 
         self.base_config_path = base_config_path
         self.base_config = load_config(base_config_path)
+        # The vmapped sweep program is the most expensive compile in the
+        # repo (7-replica stacked train step) — cache it across launches.
+        enable_compilation_cache(self.base_config)
         self.lr_values = [float(x) for x in (lr_values or DEFAULT_LRS)]
         self.schedulers = list(schedulers or ["none"])
         self.plateau_factors = [float(x) for x in (plateau_factors or [0.8])]

@@ -198,6 +198,7 @@ class Predictor:
         sharded on the ``data`` axis, params replicated).
         """
         from vit_tpu.config import load_config
+        from vit_tpu.hardware import enable_compilation_cache
         from vit_tpu.models.builder import get_model
         from vit_tpu.train.checkpoint import CheckpointManager, default_ckpt_dir
 
@@ -205,6 +206,8 @@ class Predictor:
         # (seconds to minutes over a TPU tunnel).
         _check_quantize_mode(quantize)
         cfg = load_config(config) if isinstance(config, str) else dict(config)
+        # Serving restarts recompile the same forward — cache it.
+        enable_compilation_cache(cfg)
         if perf_preset:
             if precision is None:
                 precision = "bf16"

@@ -49,11 +49,19 @@ class CheckpointManager:
         monitor: str = "mae",
         mode: str = "min",
         enabled: bool = True,
+        async_save: bool = False,
     ) -> None:
         self.dir = os.path.abspath(os.path.join(root_dir, model_name))
         self.monitor = monitor
         self.mode = mode
         self.enabled = enabled
+        # train.async_ckpt: the host snapshot (jax.device_get) stays
+        # synchronous, but the disk write runs on orbax's background thread
+        # so training resumes immediately — the save overlaps the next
+        # epoch's compute. Artifacts are identical to the sync path; wait()
+        # fences before any read-back (test/restore/artifact upload).
+        self.async_save = async_save
+        self._ckptr = None
         self.best_value: Optional[float] = None
         self.best_epoch: Optional[int] = None
         if enabled:
@@ -107,12 +115,31 @@ class CheckpointManager:
         return {}
 
     # -- save/restore ----------------------------------------------------
+    def _get_ckptr(self):
+        """One long-lived checkpointer per manager: orbax's StandardCheckpointer
+        is async-capable (save() returns before the write lands), and async
+        mode needs the background thread to outlive ``_save``."""
+        if self._ckptr is None:
+            self._ckptr = _checkpointer()
+        return self._ckptr
+
+    def wait(self) -> None:
+        """Fence: block until every in-flight async save has landed."""
+        if self._ckptr is not None:
+            self._ckptr.wait_until_finished()
+
     def _save(self, path: str, state: Any) -> None:
-        ckptr = _checkpointer()
+        ckptr = self._get_ckptr()
+        # At most one in-flight write, and the previous write to this path
+        # must land before its directory can be replaced.
+        ckptr.wait_until_finished()
         if os.path.exists(path):
             shutil.rmtree(path)
+        # jax.device_get snapshots to host numpy — the training loop's
+        # subsequent state updates cannot mutate what the writer sees.
         ckptr.save(path, jax.device_get(state))
-        ckptr.wait_until_finished()
+        if not self.async_save:
+            ckptr.wait_until_finished()
 
     def on_epoch_end(
         self,

@@ -533,6 +533,12 @@ class Experiment:
         # anything touches the backend (jax.default_backend below would
         # otherwise pin a single-host runtime).
         maybe_initialize_distributed()
+        # Persistent XLA compilation cache: re-runs of already-compiled
+        # (program, shapes) pairs skip the 20 s–3 min remote compile
+        # (train.compilation_cache: false disables).
+        from vit_tpu.hardware import enable_compilation_cache
+
+        enable_compilation_cache(config)
         seed_everything(seed)
         train_cfg0 = config.get("train", {}) or {}
         # Dropout-mask generation dominates small-model step time with the
@@ -709,6 +715,10 @@ class Experiment:
             monitor=self.monitor,
             mode=self.monitor_mode,
             enabled=self.save,
+            # train.async_ckpt: overlap the checkpoint disk write with the
+            # next epoch's compute (orbax background thread); fenced by
+            # ckpt.wait() before any read-back. Identical artifacts.
+            async_save=bool(train_cfg.get("async_ckpt", False)),
         )
         self.state: Optional[TrainState] = None
         self.state_shard = self.repl_shard  # refined by _init_state (TP trees)
@@ -1439,6 +1449,9 @@ class Experiment:
             except Exception as e:
                 print(f"[viz] train-end artifacts skipped: {e}")
 
+        # Fence in-flight async checkpoint writes before anything reads the
+        # checkpoint dirs back (artifact upload below, run().test("best")).
+        self.ckpt.wait()
         if self.save:
             # W&B model artifacts at train end (reference log_model=save).
             meta = {"monitor": monitor_key, "best_value": self.ckpt.best_value,
@@ -1459,6 +1472,7 @@ class Experiment:
             tx = build_optimizer(spec)
             self.state = self._init_state(tx)
         if ckpt:
+            self.ckpt.wait()  # async saves must land before read-back
             restored = CheckpointManager.restore(self.ckpt.resolve(ckpt), self.state)
             self.state = jax.device_put(restored, self.state_shard)
         metrics = self._eval_metrics(
