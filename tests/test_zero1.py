@@ -105,3 +105,20 @@ def test_zero1_rejects_model_parallel(tiny_config):
     cfg = _cfg(tiny_config, True, model_parallel=2)
     with pytest.raises(ValueError, match="opt_state_sharding"):
         Experiment(cfg, seed=0, num_devices=8)
+
+
+def test_zero1_composes_with_grad_accumulation(tiny_config, tmp_path, monkeypatch):
+    """ZeRO-1 + accumulate_steps: same trajectory as replicated + accum."""
+    monkeypatch.setenv("CKPT_DIR", str(tmp_path / "ckpt"))
+
+    def run(zero1):
+        exp = Experiment(
+            _cfg(tiny_config, zero1, accumulate_steps=2), seed=0, num_devices=8
+        )
+        m = exp.fit()
+        return m, np.asarray(exp.state.params["regressor"]["kernel"])
+
+    m_z, k_z = run(True)
+    m_r, k_r = run(False)
+    assert m_z["train_loss"] == pytest.approx(m_r["train_loss"], rel=1e-6)
+    np.testing.assert_allclose(k_z, k_r, rtol=1e-6, atol=1e-7)

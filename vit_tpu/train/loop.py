@@ -986,6 +986,23 @@ class Experiment:
     # -- fit ---------------------------------------------------------------
     @_with_mesh
     def fit(self) -> Dict[str, float]:
+        # Preemption safety (train.handle_preemption, default on): the
+        # first SIGTERM latches a flag polled at every checkpoint boundary
+        # so the run saves `last` through the normal path and returns
+        # cleanly (--ckpt last resumes). Guard lifetime == this fit call.
+        from vit_tpu.train.preempt import PreemptionGuard
+
+        self._preempt = PreemptionGuard(
+            enabled=bool(
+                (self.config.get("train", {}) or {}).get("handle_preemption", True)
+            )
+        ).install()
+        try:
+            return self._fit_impl()
+        finally:
+            self._preempt.uninstall()
+
+    def _fit_impl(self) -> Dict[str, float]:
         self.datamodule.setup("fit")
         train_ds = self.datamodule.train
         n_train = len(train_ds)
@@ -1438,6 +1455,17 @@ class Experiment:
                     # rows would coalesce in W&B charts)
                     step=(epoch + 1) * steps_per_epoch,
                 )
+            if self._preempt.triggered and block_final:
+                # `last` was just checkpointed by on_epoch_end above (when
+                # train.save is on); stopping here leaves a resumable run.
+                hint = (
+                    "resume with --ckpt last" if self.save
+                    else "train.save is off: nothing was persisted"
+                )
+                print(
+                    f"[experiment] preemption stop at epoch {epoch} ({hint})"
+                )
+                break
 
         if viz is not None:
             try:
