@@ -24,6 +24,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 __all__ = [
+    "device_grid",
     "make_mesh",
     "batch_sharding",
     "replicated_sharding",
@@ -96,6 +97,53 @@ def maybe_initialize_distributed() -> None:
         print(f"[mesh] jax.distributed.initialize skipped: {e}")
 
 
+def device_grid(devs: Sequence, shape: Sequence[int]) -> np.ndarray:
+    """Place ``devs`` into a ``shape`` grid, topology-aware on TPU.
+
+    The grid's trailing axes carry the chatty collectives (``model``/
+    ``pipe``), the leading axis the per-step gradient all-reduce
+    (``data``), so placement must keep trailing-axis groups on the fast
+    network:
+
+    * **Multi-slice TPU** (devices carry distinct ``slice_index``): the
+      ``data`` axis absorbs the DCN dimension — each trailing-axes group
+      lives inside ONE slice (ICI), and only the data all-reduce crosses
+      DCN (``mesh_utils.create_hybrid_device_mesh``).
+    * **Single-slice TPU**: ``mesh_utils.create_device_mesh`` orders
+      devices along the physical torus so neighboring mesh coordinates
+      are ICI neighbors.
+    * **CPU / virtual / unplaceable** (capped device lists, missing
+      coords, indivisible shapes): deterministic enumeration order — the
+      numerics are placement-independent, only collective latency is.
+    """
+    devs = list(devs)
+    if len(devs) <= 1 or getattr(devs[0], "platform", "") != "tpu":
+        return np.asarray(devs).reshape(shape)
+    from jax.experimental import mesh_utils
+
+    slice_ids = {getattr(d, "slice_index", 0) for d in devs}
+    try:
+        if len(slice_ids) > 1:
+            n_slices = len(slice_ids)
+            if shape[0] % n_slices != 0:
+                raise ValueError(
+                    f"data axis {shape[0]} not divisible by {n_slices} "
+                    "slices; model/pipe groups would cross DCN"
+                )
+            ici = (shape[0] // n_slices,) + tuple(shape[1:])
+            dcn = (n_slices,) + (1,) * (len(shape) - 1)
+            return mesh_utils.create_hybrid_device_mesh(
+                ici, dcn, devices=devs, allow_split_physical_axes=True
+            )
+        return mesh_utils.create_device_mesh(
+            shape, devices=devs, allow_split_physical_axes=True
+        )
+    except Exception as e:  # perf-only concern: fall back, visibly
+        print(f"[mesh] topology-aware placement unavailable ({e}); "
+              "using enumeration order")
+        return np.asarray(devs).reshape(shape)
+
+
 def make_mesh(
     num_devices: Optional[int] = None,
     model_parallel: int = 1,
@@ -109,7 +157,9 @@ def make_mesh(
     ``train.gpus`` semantics); ``model_parallel`` splits off a TP axis.
     ``pipeline_parallel > 1`` appends a ``pipe`` axis for GPipe stages
     (:mod:`vit_tpu.parallel.pipeline`); with the default 1 the mesh stays
-    two-axis so existing shardings/specs are unchanged.
+    two-axis so existing shardings/specs are unchanged. Device placement
+    into the grid is topology-aware on TPU (see :func:`device_grid`):
+    model/pipe groups ride ICI, the data axis crosses slices.
     """
     devs = list(devices if devices is not None else jax.devices())
     if num_devices is not None and num_devices > 0:
@@ -122,12 +172,11 @@ def make_mesh(
             f"must divide device count {n}"
         )
     if pp > 1:
-        grid = np.asarray(devs).reshape(
-            n // (model_parallel * pp), model_parallel, pp
-        )
-        return Mesh(grid, axis_names=tuple(axis_names) + ("pipe",))
-    grid = np.asarray(devs).reshape(n // model_parallel, model_parallel)
-    return Mesh(grid, axis_names=tuple(axis_names))
+        shape = (n // (model_parallel * pp), model_parallel, pp)
+        return Mesh(device_grid(devs, shape),
+                    axis_names=tuple(axis_names) + ("pipe",))
+    shape = (n // model_parallel, model_parallel)
+    return Mesh(device_grid(devs, shape), axis_names=tuple(axis_names))
 
 
 def num_data_shards(mesh: Mesh) -> int:
