@@ -367,3 +367,41 @@ def test_per_replica_shuffles(sweep_base_config, tmp_path, monkeypatch):
     assert [r["metric"] for r in summary2["results"]] == [
         r["metric"] for r in summary["results"]
     ]
+
+
+def test_sweep_preemption_stops_at_epoch_boundary(
+    sweep_base_config, tmp_path, monkeypatch, capsys
+):
+    """A SIGTERM mid-sweep (here: a pre-triggered guard) stops the grid at
+    the next epoch boundary with summary/best artifacts written from the
+    completed epochs — the same contract as Experiment.fit's guard."""
+    import vit_tpu.opt.parallel_sweep as ps
+    from vit_tpu.train.preempt import PreemptionGuard
+
+    orig = ps._VmapSweepEngine.run
+
+    def patched(self):
+        guard = PreemptionGuard(enabled=False)  # no real handler in tests
+        guard.triggered = True  # as if SIGTERM landed during epoch 0
+        self.preempt_guard = guard
+        return orig(self)
+
+    monkeypatch.setattr(ps._VmapSweepEngine, "run", patched)
+    runner = ParallelSweepRunner(
+        sweep_base_config,  # ep=2: without preemption replicas run 2 epochs
+        lr_values=[1e-4, 1e-3],
+        results_dir=str(tmp_path / "runs"),
+        seed=0,
+    )
+    best = runner.run()
+    out = capsys.readouterr().out
+    assert "preemption stop at epoch 0" in out
+    # Artifacts exist and carry epoch-0 metrics for every replica.
+    assert best is not None and best.metric is not None
+    with open(runner.summary_path) as f:
+        summary = yaml.safe_load(f)
+    assert len(summary["results"]) == 2
+    for r in summary["results"]:
+        assert r["status"] == "ok"
+        assert "preemption stop" in (r["message"] or "")
+        assert r["metric"] is not None

@@ -444,6 +444,18 @@ class _VmapSweepEngine:
             messages[i] = message
             durations[i] = time.perf_counter() - t_start
 
+        # Preemption safety (same contract as Experiment.fit): the first
+        # SIGTERM stops the sweep at the next epoch boundary and the
+        # summary/best artifacts are written from the epochs that completed.
+        # Tests inject a pre-triggered guard via ``self.preempt_guard``.
+        from vit_tpu.train.preempt import PreemptionGuard
+
+        guard = getattr(self, "preempt_guard", None)
+        if guard is None:
+            guard = PreemptionGuard(
+                enabled=bool(train_cfg.get("handle_preemption", True))
+            )
+        guard.install()
         try:
             for epoch in range(max_epochs):
                 perm = jax.device_put(
@@ -502,6 +514,14 @@ class _VmapSweepEngine:
                 if not active.any():
                     print(f"[sweep] all replicas stopped at epoch {epoch}")
                     break
+                if guard.triggered:
+                    for i in range(R):
+                        if active[i] > 0:
+                            _deactivate(i, "ok",
+                                        f"preemption stop at epoch {epoch}")
+                    print(f"[sweep] preemption stop at epoch {epoch} — "
+                          "writing artifacts from completed epochs")
+                    break
         except Exception as e:  # noqa: BLE001 — per-trial isolation
             # Completed/stopped replicas keep their results; only the
             # still-active ones become errors (reference isolates any
@@ -513,6 +533,8 @@ class _VmapSweepEngine:
             for i in range(R):
                 if active[i] > 0:
                     _deactivate(i, "error", f"{type(e).__name__}: {e}")
+        finally:
+            guard.uninstall()
 
         # Optional per-replica test evaluation (reference --run-test; test
         # metrics are reported, never used for selection). Diverged replicas

@@ -12,8 +12,10 @@ terminates the process the ordinary way (force-kill still works).
 
 Enabled by default (``train.handle_preemption: false`` disables). The
 handler is only installed on the main thread (Python restricts
-``signal.signal`` to it); vmapped-sweep replicas run inside one process,
-so one guard covers the whole sweep.
+``signal.signal`` to it). Both ``Experiment.fit`` and the vmapped sweep
+engine (`opt/parallel_sweep.py::_VmapSweepEngine.run`) install a guard:
+a preempted sweep stops at the next epoch boundary and still writes
+``summary.yaml``/``best_config.yaml`` from the completed epochs.
 """
 
 from __future__ import annotations
