@@ -348,25 +348,20 @@ def bench_image_family():
         tx = build_optimizer(spec)
         opt_state = tx.init(params)
 
-        moe = getattr(vc, "moe_experts", 0) > 1
+        # Same training objective as Experiment (incl. the MoE aux loss at
+        # the config's weight) — the benchmark must time the production step.
+        from vit_tpu.train.loop import make_train_forward
+
+        train_forward, moe_aux_w = make_train_forward(bundle)
 
         def one_step(carry, _):
             params, opt_state, key = carry
             key, dr = jax.random.split(key)
 
             def loss_fn(p):
-                if moe:
-                    logits, cols = bundle.module.apply(
-                        {"params": p}, x, deterministic=False,
-                        rngs={"dropout": dr}, mutable=["losses"],
-                    )
-                    leaves = jax.tree_util.tree_leaves(cols["losses"])
-                    aux = sum(jnp.mean(a) for a in leaves) / max(len(leaves), 1)
-                    return compute_loss(logits, y, "cls", "ce") + 0.01 * aux
-                logits = bundle.module.apply(
-                    {"params": p}, x, deterministic=False, rngs={"dropout": dr}
-                )
-                return compute_loss(logits, y, "cls", "ce")
+                out = train_forward(p, x, dr)
+                logits, aux = out if isinstance(out, tuple) else (out, 0.0)
+                return compute_loss(logits, y, "cls", "ce") + moe_aux_w * aux
 
             loss, grads = jax.value_and_grad(loss_fn)(params)
             updates, opt_state = tx.update(grads, opt_state, params)

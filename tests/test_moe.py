@@ -51,8 +51,9 @@ def _gelu(x):
 
 def _brute_moe(x, p, num_experts, top_k, cap):
     """Per-token reference: GShard priority (all first choices before any
-    second choice, earlier tokens first), per-row capacity, renormalized
-    gates, dropped slots contribute zero."""
+    second choice, earlier tokens first), per-row capacity, dropped slots
+    contribute zero. Gates renormalized over k only for k >= 2 (GShard);
+    k = 1 keeps the raw top-1 probability (Switch)."""
     b, t, d = x.shape
     logits = x @ np.asarray(p["router"]["kernel"]) + np.asarray(p["router"]["bias"])
     probs = _softmax(logits)
@@ -63,7 +64,8 @@ def _brute_moe(x, p, num_experts, top_k, cap):
     for row in range(b):
         order = np.argsort(-probs[row], axis=-1)[:, :top_k]  # (T, k)
         gates = np.take_along_axis(probs[row], order, axis=-1)
-        gates = gates / gates.sum(-1, keepdims=True)
+        if top_k > 1:
+            gates = gates / gates.sum(-1, keepdims=True)
         counts = np.zeros(num_experts, int)
         kept = []  # (tok, expert, gate)
         for j in range(top_k):
@@ -118,6 +120,32 @@ def test_moe_aux_loss_balanced_router_is_one():
     assert aux == pytest.approx(1.0, abs=1e-6)
 
 
+def test_moe_top1_router_gets_task_gradient():
+    """Switch mode (top_k=1) must keep the RAW top-1 probability as the
+    gate: renormalizing over k=1 makes the gate a constant 1.0, cutting the
+    task-loss gradient into the router (it would train only on the
+    0.01-weighted aux loss — balanced but content-blind routing)."""
+    cfg = _moe_cfg(experts=4, top_k=1, cf=4.0, hidden=16)
+    m = MoEMLP(cfg)
+    x = jnp.asarray(
+        np.random.default_rng(3).standard_normal((2, 8, 16)), jnp.float32
+    )
+    variables = m.init(jax.random.PRNGKey(0), x)
+
+    def task_loss(p):
+        out, _ = m.apply({"params": p}, x, mutable=["losses"])
+        return (out**2).mean()  # NO aux term: task gradient only
+
+    g = jax.grad(task_loss)(variables["params"])
+    router_g = float(np.abs(np.asarray(g["router"]["kernel"])).max())
+    # Raw-prob gate: ~2e-6 at this tiny shape. Renormalized-constant gate:
+    # ~1e-13 (pure float noise) — orders of magnitude apart.
+    assert router_g > 1e-8, (
+        f"router task gradient is {router_g:.2e} — the top-1 gate was "
+        "renormalized to a constant"
+    )
+
+
 def test_moe_grads_reach_all_experts():
     """With ample capacity every expert that receives tokens gets gradient;
     the router gets gradient through the combine weights."""
@@ -153,6 +181,34 @@ def test_moe_experiment_end_to_end(tiny_config, tmp_path, monkeypatch):
     metrics = exp.fit()
     assert np.isfinite(metrics["train_loss"])
     assert metrics["val_mae"] < 0.5  # beats the trivial guess
+
+
+def test_moe_vmapped_sweep_runs_full_objective(tiny_config, tmp_path):
+    """The vmapped sweep must train Experiment's objective for MoE configs:
+    loss_fn collects the sown Switch aux loss via mutable=['losses'] (a
+    plain apply makes the sow a no-op, silently dropping the regularizer
+    from every swept replica)."""
+    import yaml
+
+    from vit_tpu.opt.parallel_sweep import ParallelSweepRunner
+
+    cfg = dict(tiny_config)
+    cfg["model"] = dict(
+        tiny_config["model"], moe_experts=4, moe_top_k=1,
+        moe_capacity_factor=2.0,
+    )
+    cfg["train"] = dict(tiny_config["train"], ep=1, batch_size=16)
+    path = tmp_path / "moe.yaml"
+    with open(path, "w") as f:
+        yaml.safe_dump(cfg, f)
+    runner = ParallelSweepRunner(
+        str(path), lr_values=[1e-3], results_dir=str(tmp_path / "runs")
+    )
+    best = runner.run()
+    assert best is not None and np.isfinite(best.metric)
+    with open(runner.summary_path) as f:
+        summary = yaml.safe_load(f)
+    assert summary["results"][0]["status"] == "ok"
 
 
 def test_moe_expert_parallel_sharding(tiny_config, tmp_path, monkeypatch):

@@ -103,6 +103,32 @@ def test_quantize_respects_min_fan_in_and_exclude():
     assert any("regressor" in p for p in with_head)
 
 
+def test_quantize_excludes_moe_router():
+    """The router's logits feed a discontinuous top_k: quant error flips
+    expert assignment near ties, so DEFAULT_EXCLUDE must skip it."""
+    import jax
+
+    from vit_tpu.models.builder import get_model
+
+    cfg = {
+        "project": "q", "model": {
+            "name": "vit", "task_type": "reg", "image_size": 256,
+            "patch_size": 32, "hidden_size": 64, "num_hidden_layers": 2,
+            "num_attention_heads": 4, "stride_size": 32, "proj_fn": "SW",
+            "moe_experts": 4, "moe_top_k": 1,
+        },
+        "train": {"batch_size": 8, "ep": 1}, "loss": {"name": "mae"},
+        "data": {"param": "log_g"}, "noise": {"noise_level": 0},
+    }
+    bundle = get_model(cfg)
+    params = bundle.module.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 256))
+    )["params"]
+    table = quantize_dense_params(params)
+    assert table  # encoder Dense layers quantize (hidden 64)
+    assert not any("router" in p for p in table), sorted(table)
+
+
 @pytest.fixture()
 def trained(tiny_config, tmp_path, monkeypatch):
     from vit_tpu.train.loop import Experiment
@@ -132,6 +158,37 @@ def test_predictor_int8_close_to_fp32(trained):
     # physical-units regression outputs: quantization noise must be far
     # below the model's own val MAE scale
     assert np.abs(out - ref).max() < 0.05 * (np.abs(ref).mean() + 1.0)
+
+
+def test_predictor_int8_fused_qkv_rebuilds_unfused(trained):
+    """fused_qkv reads the q/k/v kernels directly (not via nn.Dense), so
+    the int8 interceptor never fires for them while strip_quantized would
+    hand the fused path (1,1) placeholders. from_checkpoint must serve the
+    identical-math unfused module instead (params share the canonical
+    separate layout), and a directly-constructed Predictor must refuse
+    up front rather than crash at the first forward."""
+    from vit_tpu.models.builder import get_model
+    from vit_tpu.serve import Predictor
+
+    exp, cfg = trained
+    flux = exp.datamodule.val.flux[:8]
+    qcfg = dict(cfg, model=dict(cfg["model"], fused_qkv=True))
+    p8 = Predictor.from_checkpoint(
+        dict(qcfg), ckpt="best", batch_size=8, quantize="int8"
+    )
+    assert not getattr(p8.vit_config, "fused_qkv", False)
+    ref = Predictor.from_checkpoint(
+        dict(cfg), ckpt="best", batch_size=8
+    ).predict(flux)
+    out = p8.predict(flux)
+    assert np.abs(out - ref).max() < 0.05 * (np.abs(ref).mean() + 1.0)
+
+    bundle = get_model(qcfg)
+    with pytest.raises(ValueError, match="fused_qkv"):
+        Predictor(
+            bundle.module, exp.state.params, bundle.vit_config,
+            quantize="int8",
+        )
 
 
 def test_predictor_bf16_precision(trained):

@@ -10,7 +10,9 @@ GShard/Switch rather than data-dependent gather/scatter, so XLA sees static
 shapes and pure matmuls:
 
 * Router: fp32 softmax over ``E`` logits per token; ``top_k`` (1 = Switch,
-  2 = GShard) experts per token, gate values renormalized over the chosen k.
+  2 = GShard) experts per token. Gate values are renormalized over the
+  chosen k only for k >= 2 (GShard); k = 1 uses the raw top-1 probability
+  (Switch), which keeps the task-loss gradient flowing into the router.
 * Capacity: each expert accepts at most ``C = ceil(top_k * T * cf / E)``
   tokens per batch row (``cf = moe_capacity_factor``); overflow tokens are
   dropped for that expert (their k-slot contributes zero — standard Switch
@@ -96,9 +98,15 @@ class MoEMLP(nn.Module):
         )(x.astype(jnp.float32))
         probs = jax.nn.softmax(logits, axis=-1)  # (B, T, E)
         gate_vals, gate_idx = jax.lax.top_k(probs, top_k)  # (B, T, k)
-        gate_vals = gate_vals / jnp.maximum(
-            gate_vals.sum(-1, keepdims=True), 1e-9
-        )
+        if top_k > 1:
+            gate_vals = gate_vals / jnp.maximum(
+                gate_vals.sum(-1, keepdims=True), 1e-9
+            )
+        # top_k == 1 keeps the RAW top-1 probability as the gate (Switch
+        # Transformer): renormalizing over k=1 would make the gate a
+        # constant 1.0 and cut the task-loss gradient into the router,
+        # leaving it trained only by the aux loss (balanced but
+        # content-blind routing).
         sel = jax.nn.one_hot(gate_idx, num_experts, dtype=jnp.float32)
 
         # GShard priority: (B, T, k, E) -> (B, k*T, E) with ALL first

@@ -22,9 +22,10 @@ Scheme (standard LLM.int8-style symmetric quantization):
 
 What gets quantized: every ``nn.Dense`` with a 2-D kernel whose fan-in is
 at least ``min_fan_in``, EXCEPT the task head (``classifier``/``regressor``
-— cheap, and its output feeds metrics directly) and the covariance-derived
+— cheap, and its output feeds metrics directly), the covariance-derived
 ``preprocessor`` (whitening is precision-sensitive by construction,
-`/root/reference/src/models/preprocessor.py:32-73` semantics). LayerNorms,
+`/root/reference/src/models/preprocessor.py:32-73` semantics), and the MoE
+``router`` (its logits feed a discontinuous top_k — see DEFAULT_EXCLUDE). LayerNorms,
 biases, convs, and attention's softmax stay in the serving compute dtype.
 
 Integration uses Flax's ``nn.intercept_methods`` so the EXACT training
@@ -52,7 +53,13 @@ __all__ = [
 ]
 
 # Module-path components whose Dense layers are never quantized.
-DEFAULT_EXCLUDE: Tuple[str, ...] = ("classifier", "regressor", "preprocessor")
+# ``router``: the MoE router's logits feed a discontinuous top_k — near-tie
+# tokens would flip expert assignment under ~1e-2 quant error, an accuracy
+# cliff the smooth per-layer error bound does not cover (the expert wi/wo
+# einsum params are not nn.Dense and are never candidates anyway).
+DEFAULT_EXCLUDE: Tuple[str, ...] = (
+    "classifier", "regressor", "preprocessor", "router",
+)
 
 
 def _is_mapping(node: Any) -> bool:

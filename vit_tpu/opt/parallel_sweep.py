@@ -180,7 +180,11 @@ class _VmapSweepEngine:
         from vit_tpu.models.builder import get_model
         from vit_tpu.models.vit import compute_loss
         from vit_tpu.parallel.mesh import make_mesh
-        from vit_tpu.train.loop import TrainState, _mask_preprocessor
+        from vit_tpu.train.loop import (
+            TrainState,
+            _mask_preprocessor,
+            make_train_forward,
+        )
         from vit_tpu.train.metrics import regression_metrics, classification_metrics
         from vit_tpu.train.optim import (
             OptSpec,
@@ -298,6 +302,12 @@ class _VmapSweepEngine:
                 return 0.0
             return 1.0 if (fe == -1 or epoch < fe) else 0.0
 
+        # Same training objective as Experiment (loop.py::make_train_forward):
+        # for MoE configs this collects the sown Switch load-balance aux loss —
+        # without it the swept dynamics would train a different objective than
+        # the final run (and the top-1 router would get no gradient at all).
+        train_forward, moe_aux_w = make_train_forward(bundle)
+
         def one_step(state: TrainState, batch, lr):
             rng, noise_rng, dropout_rng = jax.random.split(state.rng, 3)
             x = batch["x"]
@@ -305,10 +315,12 @@ class _VmapSweepEngine:
                 x = x + jax.random.normal(noise_rng, x.shape, x.dtype) * batch["error"] * noise_level
 
             def loss_fn(p):
-                logits = module.apply(
-                    {"params": p}, x, deterministic=False, rngs={"dropout": dropout_rng}
+                out = train_forward(p, x, dropout_rng)
+                logits, aux = out if isinstance(out, tuple) else (out, 0.0)
+                return (
+                    compute_loss(logits, batch["label"], task, loss_name)
+                    + moe_aux_w * aux
                 )
-                return compute_loss(logits, batch["label"], task, loss_name)
 
             loss, grads = jax.value_and_grad(loss_fn)(state.params)
             if has_preproc:

@@ -129,14 +129,19 @@ class Predictor:
             # 'int8' = W8A8 dynamic (int8 MXU matmuls; best measured
             # mid-batch); 'int8-wo' = weight-only (dequantize-into-matmul,
             # no activation quant; exact accumulation under f32 serving).
-            if getattr(vit_config, "fused_mlp", False):
-                # The fused-MLP Pallas path reads its kernels directly
-                # (_DenseParams) — stripping them would hand it (1,1)
-                # placeholders. from_checkpoint rebuilds with fused_mlp
-                # off; a directly-constructed module must do the same.
+            if getattr(vit_config, "fused_mlp", False) or getattr(
+                vit_config, "fused_qkv", False
+            ):
+                # The fused-MLP Pallas path and the fused-QKV path read
+                # their kernels directly (not through nn.Dense.__call__),
+                # so the int8 interceptor never fires for them while
+                # strip_quantized would hand them (1,1) placeholders.
+                # from_checkpoint rebuilds with both off; a
+                # directly-constructed module must do the same.
                 raise ValueError(
-                    "quantize requires the unfused MLP path: rebuild the "
-                    "module with model.fused_mlp=False (identical math)"
+                    "quantize requires the unfused Dense paths: rebuild the "
+                    "module with model.fused_mlp=False and "
+                    "model.fused_qkv=False (identical math)"
                 )
             from vit_tpu.ops.quant import (
                 quantize_dense_params,
@@ -220,11 +225,16 @@ class Predictor:
             # Sequence parallelism is a training-mesh concern; serving runs
             # the numerically-identical single-host xla kernel.
             cfg = dict(cfg, model=dict(cfg["model"], attn_impl="xla"))
-        if quantize is not None and (cfg.get("model", {}) or {}).get("fused_mlp"):
-            # The fused-MLP Pallas path reads its kernels directly
-            # (_DenseParams), bypassing the nn.Dense interception that int8
-            # serving hooks — serve the identical-math unfused MLP instead.
-            cfg = dict(cfg, model=dict(cfg["model"], fused_mlp=False))
+        mcfg = cfg.get("model", {}) or {}
+        if quantize is not None and (
+            mcfg.get("fused_mlp") or mcfg.get("fused_qkv")
+        ):
+            # The fused-MLP Pallas path and the fused-QKV path read their
+            # kernels directly, bypassing the nn.Dense interception that
+            # int8 serving hooks — serve the identical-math unfused Dense
+            # layers instead.
+            cfg = dict(cfg, model=dict(cfg["model"], fused_mlp=False,
+                                       fused_qkv=False))
         bundle = get_model(cfg)
         # enabled=False: read-only — no checkpoint-dir creation side effects
         # at serving time (read_meta does not need an enabled manager).

@@ -113,6 +113,44 @@ def _micro_constraint(batch_sharding_):
     return NamedSharding(mesh, P(None, *axes)), dp
 
 
+def make_train_forward(bundle: ModelBundle):
+    """Training forward shared by every step builder (Experiment's grads fn,
+    the vmapped sweep, ``bench.py``): returns ``(apply_fn, moe_aux_weight)``.
+
+    ``apply_fn(params, x, dropout_rng)`` returns ``logits`` for dense models,
+    or ``(logits, aux)`` for MoE models where ``aux`` is the UNWEIGHTED
+    Switch load-balance loss collected from the ``losses`` collection each
+    router sows into (:mod:`vit_tpu.models.moe`). Callers add
+    ``moe_aux_weight * aux`` to the training objective; eval metrics exclude
+    the regularizer. Centralized here so the sweep and the benchmark train
+    the SAME objective as :class:`Experiment`.
+    """
+    module = bundle.module
+    moe_aux_w = (
+        float(getattr(bundle.vit_config, "moe_aux_weight", 0.0) or 0.0)
+        if getattr(bundle.vit_config, "moe_experts", 0) > 1
+        else 0.0
+    )
+    if moe_aux_w > 0.0:
+        def apply_fn(params, x, dropout_rng):
+            logits, cols = module.apply(
+                {"params": params}, x, deterministic=False,
+                rngs={"dropout": dropout_rng}, mutable=["losses"],
+            )
+            aux_leaves = jax.tree_util.tree_leaves(cols["losses"])
+            aux = sum(jnp.mean(a) for a in aux_leaves) / max(
+                len(aux_leaves), 1
+            )
+            return logits, aux
+    else:
+        def apply_fn(params, x, dropout_rng):
+            return module.apply(
+                {"params": params}, x, deterministic=False,
+                rngs={"dropout": dropout_rng},
+            )
+    return apply_fn, moe_aux_w
+
+
 def _make_grads_fn(bundle: ModelBundle, noise_level: float, accum_steps: int = 1,
                    micro_constraint=None, apply_fn=None):
     """(params, batch, noise_rng, dropout_rng) -> (loss, grads), shared by the
@@ -130,35 +168,11 @@ def _make_grads_fn(bundle: ModelBundle, noise_level: float, accum_steps: int = 1
     :func:`vit_tpu.parallel.pipeline.apply_pipelined`); the default is the
     monolithic ``module.apply``.
     """
-    module = bundle.module
     task = bundle.vit_config.task_type
     loss_name = bundle.loss_name
-    # MoE: the Switch load-balance loss is sown into the `losses` collection
-    # by each layer's router; collect it here (training objective only —
-    # eval metrics exclude the regularizer).
-    moe_aux_w = (
-        float(getattr(bundle.vit_config, "moe_aux_weight", 0.0) or 0.0)
-        if getattr(bundle.vit_config, "moe_experts", 0) > 1
-        else 0.0
-    )
+    default_apply, moe_aux_w = make_train_forward(bundle)
     if apply_fn is None:
-        if moe_aux_w > 0.0:
-            def apply_fn(params, x, dropout_rng):
-                logits, cols = module.apply(
-                    {"params": params}, x, deterministic=False,
-                    rngs={"dropout": dropout_rng}, mutable=["losses"],
-                )
-                aux_leaves = jax.tree_util.tree_leaves(cols["losses"])
-                aux = sum(jnp.mean(a) for a in aux_leaves) / max(
-                    len(aux_leaves), 1
-                )
-                return logits, aux
-        else:
-            def apply_fn(params, x, dropout_rng):
-                return module.apply(
-                    {"params": params}, x, deterministic=False,
-                    rngs={"dropout": dropout_rng},
-                )
+        apply_fn = default_apply
 
     def loss_of(params, batch, noise_rng, dropout_rng):
         x = batch["x"]
@@ -497,8 +511,9 @@ def _with_mesh(method):
 
     Traces inside (ring attention) see ``self.mesh``; on exit the previous
     value is restored, so a finished run can't leak its mesh into later
-    library traces (``__init__`` still sets it once for pre-``fit`` direct
-    uses like ``scripts/convert.py``'s ``_init_state``).
+    library traces. ONLY decorated entry points (``fit``/``test``/
+    ``_init_state``) see the mesh — ``__init__`` does not set it, so any new
+    tracing entry point must carry this decorator too.
     """
 
     @functools.wraps(method)
