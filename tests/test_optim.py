@@ -203,6 +203,25 @@ def test_moment_dtype_bf16_training_step_stays_finite():
     assert bool(jnp.isfinite(params["w"]).all())
 
 
+def test_moment_dtype_inert_outside_adam_family(capsys):
+    """adamax/rmsprop have no optax mu_dtype: the knob must not crash the
+    build (round-4 review finding) and must say it has no effect."""
+    import jax
+    import jax.numpy as jnp
+
+    from vit_tpu.train.optim import OptSpec, build_optimizer
+
+    params = {"w": jnp.ones((4,), jnp.float32)}
+    for name in ("adamax", "rmsprop", "sgd"):
+        tx = build_optimizer(OptSpec(lr=1e-3, opt_type=name,
+                                     moment_dtype="bf16"))
+        state = tx.init(params)  # must not raise
+        assert not [leaf for leaf in jax.tree_util.tree_leaves(state)
+                    if getattr(leaf, "dtype", None) == jnp.bfloat16]
+        out = capsys.readouterr().out
+        assert "no effect" in out, f"missing inert-knob warning for {name}"
+
+
 def test_moment_dtype_rejects_unknown():
     import jax.numpy as jnp
     import pytest as _pytest

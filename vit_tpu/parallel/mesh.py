@@ -30,6 +30,7 @@ __all__ = [
     "replicated_sharding",
     "maybe_initialize_distributed",
     "num_data_shards",
+    "zero1_shard_opt_state",
     "set_active_mesh",
     "active_mesh",
     "active_mesh_scope",
@@ -190,6 +191,28 @@ def batch_sharding(mesh: Mesh) -> NamedSharding:
 
 def replicated_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
+
+
+def zero1_shard_opt_state(opt_state, mesh: Mesh):
+    """ZeRO-1 layout: shard each moment leaf's leading dim over ``data``.
+
+    Leaves whose leading dim doesn't divide the data-parallel degree (and
+    scalar step counts) replicate. Sharding is layout only — the optimizer
+    update is elementwise per leaf, so training math is unchanged
+    (tests/test_zero1.py pins parity against the replicated path). This is
+    THE production rule: `Experiment._init_state` and the driver dryrun
+    (`__graft_entry__.dryrun_multichip`) both call it, so they can't drift.
+    """
+    dp = mesh.shape.get("data", 1)
+    repl = NamedSharding(mesh, P())
+
+    def shard_leaf(x):
+        if getattr(x, "ndim", 0) >= 1 and x.shape[0] % dp == 0:
+            spec = P(*(["data"] + [None] * (x.ndim - 1)))
+            return jax.device_put(x, NamedSharding(mesh, spec))
+        return jax.device_put(x, repl)
+
+    return jax.tree_util.tree_map(shard_leaf, opt_state)
 
 
 def infer_param_shardings(params, mesh: Mesh):

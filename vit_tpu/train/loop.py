@@ -827,20 +827,11 @@ class Experiment:
         opt_state = tx.init(params)
         if self.zero1 and self.mesh.shape.get("data", 1) > 1:
             # ZeRO-1: moments shard their leading dim over `data`; params
-            # and scalar counts replicate. Sharding is layout only — the
-            # update is elementwise per leaf, so training math is unchanged
-            # (tests/test_zero1.py pins parity against the replicated path).
-            from jax.sharding import NamedSharding, PartitionSpec as P
+            # and scalar counts replicate (rule + math note in
+            # parallel.mesh.zero1_shard_opt_state).
+            from ..parallel.mesh import zero1_shard_opt_state
 
-            dp = self.mesh.shape["data"]
-
-            def shard_leaf(x):
-                if getattr(x, "ndim", 0) >= 1 and x.shape[0] % dp == 0:
-                    spec = P(*(["data"] + [None] * (x.ndim - 1)))
-                    return jax.device_put(x, NamedSharding(self.mesh, spec))
-                return jax.device_put(x, self.repl_shard)
-
-            opt_state = jax.tree_util.tree_map(shard_leaf, opt_state)
+            opt_state = zero1_shard_opt_state(opt_state, self.mesh)
             state = TrainState(
                 step=jax.device_put(jnp.zeros((), jnp.int32), self.repl_shard),
                 params=jax.device_put(params, self.repl_shard),

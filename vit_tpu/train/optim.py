@@ -192,11 +192,17 @@ def _core_optimizer(name: str, learning_rate, weight_decay: float,
     if name == "adamw":
         return optax.adamw(learning_rate, weight_decay=weight_decay,
                            mu_dtype=mu)
-    if name in ("adam", "adamax") and mu is not None:
-        tx = getattr(optax, name)(learning_rate, mu_dtype=mu)
+    if name == "adam" and mu is not None:
+        tx = optax.adam(learning_rate, mu_dtype=mu)
         if weight_decay:
             tx = optax.chain(optax.add_decayed_weights(weight_decay), tx)
         return tx
+    if mu is not None:
+        # optax.adamax / sgd / rmsprop / lbfgs expose no mu_dtype; say so
+        # instead of silently keeping fp32 moments the user thinks are bf16.
+        print(f"[optim] opt.moment_dtype has no effect for '{name}' "
+              "(only adam/adamw keep low-precision first moments); "
+              "optimizer state stays fp32")
     if name == "sgd":
         tx = optax.sgd(learning_rate)
     elif name == "lbfgs":
