@@ -304,3 +304,21 @@ def test_short_path_gradients_match_reference():
     for a, b_ in zip(g1, g2):
         rel = float(jnp.abs(a - b_).max() / (jnp.abs(b_).max() + 1e-9))
         assert rel < 1e-4, rel
+
+
+def test_default_blocks_fit_scoped_vmem():
+    """The shipped block defaults must keep the dk/dv backward kernel's
+    VMEM stack under the 12 MB scoped limit: three f32 (block_q, block_k)
+    tiles (scores, probs, dscores) dominate, so block_q*block_k must stay
+    at 512*1024 (~8 MB incl. operand blocks). 1M-element products compiled
+    standalone but failed AOT compile inside the remat'd stride-1 training
+    program (BASELINE.md round-4 "flash block-size sweep")."""
+    from vit_tpu.ops.flash_attention import _fit_block, default_blocks
+
+    for t_pad in (256, 1024, 2048, 4096, 8192):
+        for dtype in (jnp.float32, jnp.bfloat16):
+            bq, bk = default_blocks(t_pad, dtype)
+            assert bq * bk <= 512 * 1024
+            # and they always legalize to divisors of the padded length
+            assert t_pad % _fit_block(bq, t_pad) == 0
+            assert t_pad % _fit_block(bk, t_pad) == 0

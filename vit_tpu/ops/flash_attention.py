@@ -55,7 +55,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["flash_attention", "hash_dropout_mask"]
+__all__ = ["flash_attention", "hash_dropout_mask", "default_blocks"]
 
 NEG_INF = -1e30
 _STAT_LANES = 128  # lane width for per-row softmax statistics in VMEM
@@ -689,12 +689,32 @@ def _xla_core_bwd(params, res, g):
 _xla_attention_core.defvjp(_xla_core_fwd, _xla_core_bwd)
 
 
+def default_blocks(t_pad: int, dtype) -> tuple:
+    """Measured-best (block_q, block_k) subject to the scoped-VMEM cap.
+
+    v5e block sweep, fwd+bwd, d=64 (BASELINE.md round-4 "flash block-size
+    sweep"): vs the old fixed (256, 512), (512, 1024) runs 1.48x faster at
+    T=4096 (both dtypes), 1.35x at T=2048, and 1.16x at T=1024.
+
+    Larger blocks measured marginally faster standalone — bf16 (512, 2048)
+    / (1024, 1024) reach 1.56x at T=4096 — but the dk/dv backward kernel
+    holds three f32 (block_q, block_k) tiles (scores, probs, dscores) on
+    the VMEM stack, so block_q*block_k = 1M elements needs ~16 MB of
+    scoped VMEM and real training programs (remat'd ViT encoder, stride-1
+    config) fail to compile against the 12 MB scoped limit. 512*1024
+    elements ≈ 8 MB incl. operand blocks: safe, and within 6% of the
+    unconstrained best. Callers may still pass bigger blocks explicitly.
+    """
+    del t_pad, dtype  # one measured-safe choice covers every swept cell
+    return (512, 1024)
+
+
 def flash_attention(
     q: jnp.ndarray,
     k: jnp.ndarray,
     v: jnp.ndarray,
-    block_q: int = 256,
-    block_k: int = 512,
+    block_q: int = None,
+    block_k: int = None,
     interpret: bool = False,
     dropout_rate: float = 0.0,
     dropout_seed=None,
@@ -705,6 +725,8 @@ def flash_attention(
     differentiable (fused Pallas forward AND backward on TPU; XLA fallback
     elsewhere). ``interpret=True`` forces the Pallas kernels in interpreter
     mode so CI (CPU) exercises the real kernel logic, not the fallback.
+    ``block_q``/``block_k`` default to the measured-best sizes for the
+    (padded length, dtype) — see :func:`default_blocks`.
 
     ``dropout_rate > 0`` applies dropout to the softmax probabilities
     (reference training semantics) via an in-kernel counter-based mask —
@@ -732,8 +754,9 @@ def flash_attention(
     # Both blocks must divide the padded length or the grid would skip the
     # tail rows (silently-uninitialized outputs for e.g. t in 257..384).
     t_pad = _round_up(t, 128)
-    block_q = _fit_block(block_q, t_pad)
-    block_k = _fit_block(block_k, t_pad)
+    dbq, dbk = default_blocks(t_pad, q.dtype)
+    block_q = _fit_block(block_q if block_q is not None else dbq, t_pad)
+    block_k = _fit_block(block_k if block_k is not None else dbk, t_pad)
     d_pad = _round_up(d, 128)
 
     def prep(x):
