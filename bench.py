@@ -447,6 +447,70 @@ def bench_serving():
     return out
 
 
+def bench_flash_longctx():
+    """Long-context attention training pass (fwd + dq/dk/dv backward) at the
+    stride-1 shape class: T=4096, d=64, B·H=32, bf16, flash kernel at its
+    measured-best default blocks vs XLA attention (BASELINE.md round-4
+    "flash block-size sweep"). Skipped off-TPU — the flash path falls back
+    to the same XLA program there."""
+    import jax
+    import jax.numpy as jnp
+
+    if jax.default_backend() != "tpu":
+        return {}
+
+    from vit_tpu.ops.flash_attention import flash_attention
+
+    T, D, BH, ITERS = 4096, 64, 32, 10
+    key = jax.random.PRNGKey(0)
+    kq, kk, kv = jax.random.split(key, 3)
+    # Arrays live 3-D (B·H, T, d): carrying a leading length-1 dim through
+    # the scan measurably degrades XLA's program for the autodiff side
+    # (~30 vs ~18 ms/iter, reshape-in-body fusion) — measured round 4.
+    q = jax.random.normal(kq, (BH, T, D), jnp.bfloat16)
+    k = jax.random.normal(kk, (BH, T, D), jnp.bfloat16)
+    v = jax.random.normal(kv, (BH, T, D), jnp.bfloat16)
+    scale = D**-0.5
+
+    def _timed(loss_fn):
+        grad_fn = jax.grad(loss_fn, argnums=(0, 1, 2))
+
+        def body(carry, _):
+            q, k, v = carry
+            dq, _, _ = grad_fn(q, k, v)
+            return (q + 1e-12 * dq.astype(q.dtype), k, v), None
+
+        @jax.jit
+        def run(q, k, v):
+            (q, _, _), _ = jax.lax.scan(body, (q, k, v), None, length=ITERS)
+            return jnp.sum(q.astype(jnp.float32))
+
+        return _timed_dispatch(lambda: run(q, k, v), ITERS) * 1e3
+
+    def _xla_autodiff(q, k, v):
+        # the idiomatic XLA formulation (autodiff backward, heads flattened
+        # into the batch dim), NOT the flash fallback's recompute-based
+        # VJP — that would flatter the ratio
+        s = jnp.einsum(
+            "bqd,bkd->bqk", q, k, preferred_element_type=jnp.float32
+        ) * scale
+        p = jax.nn.softmax(s, axis=-1).astype(q.dtype)
+        o = jnp.einsum("bqk,bkd->bqd", p, v)
+        return jnp.sum(o.astype(jnp.float32) ** 2)
+
+    def _flash(q, k, v):
+        o = flash_attention(*(t.reshape(1, BH, T, D) for t in (q, k, v)))
+        return jnp.sum(o.astype(jnp.float32) ** 2)
+
+    flash_ms = _timed(_flash)
+    xla_ms = _timed(_xla_autodiff)
+    return {
+        "flash_t4096_bf16_fwdbwd_ms": round(flash_ms, 3),
+        "xla_attn_t4096_bf16_fwdbwd_ms": round(xla_ms, 3),
+        "flash_vs_xla_t4096_bf16": round(xla_ms / flash_ms, 3),
+    }
+
+
 def main() -> None:
     import jax as _jax
 
@@ -482,6 +546,7 @@ def main() -> None:
 
         image_metrics = bench_image_family()
         image_metrics.update(bench_serving())
+        image_metrics.update(bench_flash_longctx())
         lr_sweep_wall_s = bench_lr_sweep()
     print(setup_log.getvalue(), file=sys.stderr)
 
