@@ -390,6 +390,77 @@ def bench_image_family():
     return out
 
 
+def bench_longctx_train():
+    """Stride-1 long-context training step: T=4066 tokens (4096-px spectra,
+    patch 32, stride 1), bf16 + remat, flash attention with in-kernel probs
+    dropout at the measured-best default blocks. The capability headline —
+    the reference torch stack cannot run this shape without materializing
+    ~2.1 GB/step of attention probabilities (BASELINE.md round-2/4 rows)."""
+    import jax
+    import jax.numpy as jnp
+
+    from vit_tpu.models.builder import get_model
+    from vit_tpu.models.vit import compute_loss
+    from vit_tpu.train.loop import make_train_forward
+    from vit_tpu.train.optim import OptSpec, build_optimizer
+
+    BATCH_S1, STEPS = 16, 8
+    cfg = {
+        "project": "bench",
+        "model": {
+            "name": "vit", "task_type": "reg", "image_size": 4096,
+            "patch_size": 32, "hidden_size": 128, "num_hidden_layers": 3,
+            "num_attention_heads": 2, "stride_size": 1, "proj_fn": "SW",
+            "attn_impl": "auto", "remat": True,
+        },
+        "train": {"batch_size": BATCH_S1, "ep": 1, "precision": "bf16"},
+        "loss": {"name": "mae"}, "data": {}, "noise": {"noise_level": 0},
+    }
+    bundle = get_model(cfg)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((BATCH_S1, 4096)), jnp.float32)
+    y = jnp.asarray(rng.standard_normal(BATCH_S1), jnp.float32)
+    params = bundle.module.init(jax.random.PRNGKey(0), x[:1])["params"]
+    spec = OptSpec(lr=1e-3, opt_type="adamw", steps_per_epoch=1, total_epochs=1)
+    tx = build_optimizer(spec)
+    opt_state = tx.init(params)
+    train_forward, _ = make_train_forward(bundle)
+
+    def one_step(carry, _):
+        params, opt_state, key = carry
+        key, dr = jax.random.split(key)
+
+        def loss_fn(p):
+            return compute_loss(train_forward(p, x, dr), y, "reg", "mae")
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = jax.tree_util.tree_map(
+            lambda p, u: p + u.astype(p.dtype), params, updates
+        )
+        return (params, opt_state, key), loss
+
+    @jax.jit
+    def run(params, opt_state):
+        carry, losses = jax.lax.scan(
+            one_step, (params, opt_state, jax.random.PRNGKey(1)), None,
+            length=STEPS,
+        )
+        return carry[0], carry[1], losses
+
+    carry = [params, opt_state]
+
+    def dispatch(carry=carry, run=run):
+        carry[0], carry[1], losses = run(carry[0], carry[1])
+        return losses
+
+    dt = _timed_dispatch(dispatch, STEPS)
+    return {
+        "stride1_t4066_train_ips": round(BATCH_S1 / dt, 1),
+        "stride1_t4066_step_ms": round(dt * 1e3, 3),
+    }
+
+
 def bench_serving():
     """ViT-B/16 batch-128 inference (vit_tpu.serve's deployment shape):
     bf16 vs the serving perf preset (bf16 + tanh GELU + bf16 softmax).
@@ -547,6 +618,7 @@ def main() -> None:
         image_metrics = bench_image_family()
         image_metrics.update(bench_serving())
         image_metrics.update(bench_flash_longctx())
+        image_metrics.update(bench_longctx_train())
         lr_sweep_wall_s = bench_lr_sweep()
     print(setup_log.getvalue(), file=sys.stderr)
 

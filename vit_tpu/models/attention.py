@@ -61,7 +61,9 @@ def select_attn_impl(impl: str, seq_len: int, head_dim: int) -> str:
         # Crossover from the measured fwd+bwd coverage matrix (BASELINE.md
         # "Flash-kernel coverage matrix", v5e round 4): flash wins every
         # {f32, bf16} x {d=64, d=128} x {+-dropout} cell from T=1024 up
-        # (1.19-1.32x at 1024, 1.37-1.78x at 2048, 1.57-2.36x at 4096) and
+        # (1.19-1.32x at 1024, 1.37-1.78x at 2048, 1.57-2.36x at 4096 —
+        # and 1.59-2.70x once the measured-best default blocks landed, see
+        # BASELINE.md "flash block-size sweep") and
         # is parity-to-slower at T=197 (0.81-1.06x; the B/16 image shape
         # stays on XLA's fused attention). d < 64 is never profitable: the
         # 128-lane contraction pad alone wastes >=half the MXU, so tiny
