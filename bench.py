@@ -392,10 +392,14 @@ def bench_image_family():
 
 def bench_longctx_train():
     """Stride-1 long-context training step: T=4066 tokens (4096-px spectra,
-    patch 32, stride 1), bf16 + remat, flash attention with in-kernel probs
-    dropout at the measured-best default blocks. The capability headline —
-    the reference torch stack cannot run this shape without materializing
-    ~2.1 GB/step of attention probabilities (BASELINE.md round-2/4 rows)."""
+    patch 32, stride 1), bf16 + MLP-sublayer remat, flash attention with
+    in-kernel probs dropout at the measured-best default blocks. The
+    capability headline — the reference torch stack cannot run this shape
+    without materializing ~2.1 GB/step of attention probabilities
+    (BASELINE.md round-2/4 rows). remat: "mlp" is the measured-best mode
+    that still bounds activation memory: 49.1 ms/step vs 58.4 (remat: true)
+    and 47.1 (no remat, all residuals saved) — BASELINE.md "Remat
+    granularity"."""
     import jax
     import jax.numpy as jnp
 
@@ -411,7 +415,7 @@ def bench_longctx_train():
             "name": "vit", "task_type": "reg", "image_size": 4096,
             "patch_size": 32, "hidden_size": 128, "num_hidden_layers": 3,
             "num_attention_heads": 2, "stride_size": 1, "proj_fn": "SW",
-            "attn_impl": "auto", "remat": True,
+            "attn_impl": "auto", "remat": "mlp",
         },
         "train": {"batch_size": BATCH_S1, "ep": 1, "precision": "bf16"},
         "loss": {"name": "mae"}, "data": {}, "noise": {"noise_level": 0},

@@ -346,3 +346,50 @@ def test_image_pca_r_exceeding_components_raises(tmp_path, tiny_config):
     }
     with pytest.raises(ValueError, match="exceeds"):
         get_model(cfg)
+
+
+@pytest.mark.parametrize("remat", [True, "mlp"])
+def test_remat_modes_equivalent_to_baseline(remat):
+    """remat=True (whole layers) and remat='mlp' (MLP sublayer only) are
+    pure memory/recompute trades: identical param tree, forward, and grads."""
+    kwargs = dict(
+        task_type="reg", image_size=128, patch_size=32, hidden_size=16,
+        num_hidden_layers=2, num_attention_heads=2, intermediate_size=64,
+        stride_size=32, num_labels=1, pos_encoding_type="learned",
+    )
+    base = SpecViT(cfg=VitConfig(**kwargs))
+    rem = SpecViT(cfg=VitConfig(**kwargs, remat=remat))
+    x = jnp.asarray(
+        np.random.default_rng(7).standard_normal((3, 128)), jnp.float32
+    )
+    v_base = base.init(jax.random.PRNGKey(0), x)
+    v_rem = rem.init(jax.random.PRNGKey(0), x)
+    jax.tree_util.tree_map(
+        np.testing.assert_array_equal, v_base["params"], v_rem["params"]
+    )
+
+    def loss_fn(model, params):
+        return jnp.sum(model.apply({"params": params}, x) ** 2)
+
+    l0, g0 = jax.value_and_grad(lambda p: loss_fn(base, p))(v_base["params"])
+    l1, g1 = jax.value_and_grad(lambda p: loss_fn(rem, p))(v_base["params"])
+    np.testing.assert_allclose(float(l0), float(l1), rtol=1e-6)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6
+        ),
+        g0, g1,
+    )
+
+
+def test_parse_remat_values():
+    from vit_tpu.models.builder import _parse_remat
+
+    assert _parse_remat("mlp") == "mlp"
+    assert _parse_remat("MLP") == "mlp"
+    assert _parse_remat(True) is True
+    assert _parse_remat("true") is True
+    assert _parse_remat(False) is False
+    assert _parse_remat("false") is False
+    with pytest.raises(ValueError, match="remat"):
+        _parse_remat("bogus")

@@ -21,7 +21,7 @@ TPU-first extensions (no reference analogue):
 from __future__ import annotations
 
 import dataclasses
-from typing import Dict, Optional
+from typing import Dict, Optional, Union
 
 import jax.numpy as jnp
 from flax import linen as nn
@@ -93,7 +93,11 @@ class VitConfig:
     # peak per-device transient memory is O(T_local * ring_block_k).
     ring_block_k: Optional[int] = None
     precision: str = "float32"  # compute dtype name
-    remat: bool = False
+    # Rematerialization: False = save all residuals, True = remat whole
+    # encoder layers, "mlp" = remat only the MLP sublayer (attention
+    # residuals stay saved so the backward never re-runs the flash
+    # forward kernel — the cheap middle ground for long-context shapes).
+    remat: Union[bool, str] = False
     # tanh-approximate GELU instead of exact erf. Off by default (HF/torch
     # ViT parity is exact erf); measured on v5e B/16 as a VPU-side saving —
     # see BASELINE.md round-4 rows before enabling for training runs.
@@ -296,7 +300,7 @@ def get_vit_config(config: dict) -> VitConfig:
             int(m["ring_block_k"]) if m.get("ring_block_k") else None
         ),
         precision=str(t.get("precision", "float32")),
-        remat=bool(m.get("remat", False)),
+        remat=_parse_remat(m.get("remat", False)),
         fast_dropout=bool(m.get("fast_dropout", True)),
         gelu_approximate=bool(m.get("gelu_approximate", False)),
         softmax_dtype=m.get("softmax_dtype") or None,
@@ -307,6 +311,22 @@ def get_vit_config(config: dict) -> VitConfig:
         moe_capacity_factor=float(m.get("moe_capacity_factor", 1.25) or 1.25),
         moe_aux_weight=float(m.get("moe_aux_weight", 0.01) or 0.0),
     )
+
+
+def _parse_remat(value) -> Union[bool, str]:
+    """``model.remat``: false | true (whole layers) | "mlp" (MLP sublayer)."""
+    if isinstance(value, str):
+        v = value.strip().lower()
+        if v == "mlp":
+            return "mlp"
+        if v in ("true", "1", "yes"):
+            return True
+        if v in ("false", "0", "no", ""):
+            return False
+        raise ValueError(
+            f"model.remat must be true/false or 'mlp', got {value!r}"
+        )
+    return bool(value)
 
 
 def _get_freeze_suffix(freeze_epochs: int) -> str:

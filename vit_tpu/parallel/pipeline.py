@@ -109,7 +109,7 @@ def _stage_body(cfg, stage_params, h, *, deterministic, dropout_rng,
     from vit_tpu.models.vit import ViTLayer
 
     layer_cls = ViTLayer
-    if getattr(cfg, "remat", False):
+    if getattr(cfg, "remat", False) is True:  # "mlp" remats inside the layer
         layer_cls = nn.remat(ViTLayer, static_argnums=(2, 3))
     layer = layer_cls(cfg)
 
