@@ -173,8 +173,11 @@ def test_training_mode_runs_and_dropout_is_live():
     np.testing.assert_array_equal(np.asarray(out), np.asarray(out2))
 
 
-def test_remat_layers_match():
-    config = _config(layers=4, remat=True)
+@pytest.mark.parametrize("remat", [True, "mlp"])
+def test_remat_layers_match(remat):
+    # remat=True wraps whole layers at the stage level; remat="mlp" is
+    # handled inside ViTLayer (the stage must NOT double-wrap it).
+    config = _config(layers=4, remat=remat)
     bundle, params, x = _init(config)
     mesh = _mesh(pp=2)
     want = bundle.module.apply({"params": params}, x, deterministic=True)
