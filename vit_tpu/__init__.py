@@ -20,6 +20,8 @@ Layout:
     vit_tpu.prepca    — offline covariance/PCA/KPCA/ZCA/PCP/CKA statistics
     vit_tpu.opt       — parallel hyperparameter sweeps (vmapped replicas)
     vit_tpu.viz       — training diagnostics, regression reports, GIFs
+    vit_tpu.serve     — batch inference (perf preset, int8, data-parallel)
+    vit_tpu.export    — AOT serving artifacts (jax.export StableHLO files)
 """
 
 __version__ = "0.1.0"

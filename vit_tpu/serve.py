@@ -58,11 +58,15 @@ class Predictor:
         batch_size: int = 256,
         quantize: Optional[str] = None,
         num_devices: Optional[int] = None,
+        input_shape: Optional[tuple] = None,
     ) -> None:
         self.module = module
         self.params = params
         self.vit_config = vit_config
         self.quantize = quantize
+        # Per-sample input shape (no batch dim); recorded by from_checkpoint,
+        # needed by vit_tpu.export.export_predictor's static-shape lowering.
+        self.input_shape = tuple(input_shape) if input_shape else None
         self.label_norm = label_norm or "none"
         self.label_norm_stats = {
             k: (None if v is None else np.asarray(v, np.float64))
@@ -291,6 +295,17 @@ class Predictor:
             batch_size=batch_size,
             quantize=quantize,
             num_devices=num_devices,
+            input_shape=tuple(dummy.shape[1:]),
+        )
+
+    def export(self, path: str, platforms=None, input_shape=None) -> dict:
+        """Write a self-contained AOT serving artifact (``jax.export``
+        StableHLO: params + denormalization compiled in) that
+        :func:`vit_tpu.export.load_exported` serves without model code."""
+        from vit_tpu.export import export_predictor
+
+        return export_predictor(
+            self, path, input_shape=input_shape, platforms=platforms
         )
 
     # -- inference -----------------------------------------------------------
