@@ -75,6 +75,76 @@ def test_export_cls_predicts_classes(tiny_config, tmp_path, monkeypatch):
                                atol=1e-6)
 
 
+@pytest.mark.parametrize("mode", ["int8-wo", "int8"])
+def test_export_quantized_matches_live(trained, tmp_path, mode):
+    """The exported graph constant-folds the int8 tables: artifact output
+    must match the live quantized Predictor bit-for-bit at the jit level
+    (both run the identical quantized forward; denorm is shared)."""
+    exp, cfg = trained
+    pred = Predictor.from_checkpoint(dict(cfg), ckpt="best", batch_size=8,
+                                     quantize=mode)
+    path = str(tmp_path / f"q_{mode}.vitxpt")
+    header = pred.export(path)
+    assert header["quantize"] == mode
+    loaded = load_exported(path)
+    flux = exp.datamodule.val.flux[:11]
+    np.testing.assert_allclose(
+        loaded.predict(flux), pred.predict(flux), rtol=1e-4, atol=1e-5
+    )
+    # ... and the quantized artifact differs from an unquantized one only
+    # within quantization error (sanity that the tables actually baked in)
+    base = Predictor.from_checkpoint(dict(cfg), ckpt="best", batch_size=8)
+    np.testing.assert_allclose(loaded.predict(flux), base.predict(flux),
+                               rtol=0.2, atol=0.2)
+
+
+def test_export_corrupt_files_fail_loudly(trained, tmp_path):
+    """Truncated / corrupt artifacts raise ValueError naming the path, not
+    struct.error / JSONDecodeError, and never attempt a huge read."""
+    _, cfg = trained
+    pred = Predictor.from_checkpoint(dict(cfg), ckpt="last", batch_size=4)
+    path = tmp_path / "ok.vitxpt"
+    export_predictor(pred, str(path))
+    raw = path.read_bytes()
+
+    cut_len = tmp_path / "cut_len.vitxpt"   # magic only — no length field
+    cut_len.write_bytes(raw[: len(MAGIC) + 2])
+    with pytest.raises(ValueError, match="cut_len.*no header length"):
+        load_exported(str(cut_len))
+
+    huge = tmp_path / "huge.vitxpt"         # absurd header length
+    huge.write_bytes(raw[: len(MAGIC)] + b"\xff\xff\xff\xff" + raw[len(MAGIC) + 4:])
+    with pytest.raises(ValueError, match="huge.*header length"):
+        load_exported(str(huge))
+
+    short = tmp_path / "short.vitxpt"       # header cut mid-JSON
+    short.write_bytes(raw[: len(MAGIC) + 4 + 10])
+    with pytest.raises(ValueError, match="short.*short header"):
+        load_exported(str(short))
+
+    garble = tmp_path / "garble.vitxpt"     # length ok, JSON corrupt
+    hlen = int.from_bytes(raw[len(MAGIC):len(MAGIC) + 4], "little")
+    garble.write_bytes(raw[: len(MAGIC) + 4] + b"\x00" * hlen
+                       + raw[len(MAGIC) + 4 + hlen:])
+    with pytest.raises(ValueError, match="garble.*corrupt"):
+        load_exported(str(garble))
+
+
+def test_export_normalized_units_warning(trained, tmp_path, capsys):
+    """A regression artifact exported without denorm stats must print the
+    same loud normalized-units notice as the live Predictor at load time."""
+    exp, cfg = trained
+    pred = Predictor.from_checkpoint(dict(cfg), ckpt="best", batch_size=8)
+    pred.label_norm_stats = {}  # simulate missing stats at export time
+    path = str(tmp_path / "nodenorm.vitxpt")
+    header = pred.export(path)
+    assert header["denormalized"] is False
+    capsys.readouterr()
+    load_exported(path)
+    out = capsys.readouterr().out
+    assert "NORMALIZED units" in out
+
+
 def test_export_rejects_mesh_and_missing_shape(trained, tmp_path):
     exp, cfg = trained
     pred = Predictor.from_checkpoint(dict(cfg), ckpt="best", batch_size=8,

@@ -107,7 +107,13 @@ def export_predictor(
         return denorm(y) if denorm is not None else y
 
     spec = jax.ShapeDtypeStruct((predictor.batch_size,) + shape, jnp.float32)
-    plats = tuple(platforms) if platforms else (jax.default_backend(),)
+    # When the caller doesn't pin platforms, let jax.export pick (it
+    # canonicalizes the default backend — e.g. the axon TPU tunnel registers
+    # as 'axon' but lowers/canonicalizes to 'tpu'). Passing the raw backend
+    # name through would bake an uncanonicalized platform into the artifact
+    # and every call-time platform check would fail, even on the exporting
+    # host. Record what the export actually contains, not what we asked for.
+    plats = tuple(platforms) if platforms else None
     exported = jax_export.export(jax.jit(fn), platforms=plats)(spec)
     blob = exported.serialize()
 
@@ -120,7 +126,7 @@ def export_predictor(
         "label_norm": predictor.label_norm,
         "denormalized": denorm is not None,
         "quantize": predictor.quantize,
-        "platforms": list(plats),
+        "platforms": list(exported.platforms),
     }
     hjson = json.dumps(header).encode("utf-8")
     with open(path, "wb") as f:
@@ -179,18 +185,54 @@ class ExportedPredictor:
         return e / e.sum(axis=-1, keepdims=True)
 
 
+# Sanity bound on the JSON header length: a real header is <1 KB, so any
+# length beyond this means the 4 length bytes are garbage (truncated or
+# corrupt file) — fail loudly instead of attempting a multi-GB read.
+_MAX_HEADER = 1 << 20
+
+
 def load_exported(path: str) -> ExportedPredictor:
-    """Load an artifact written by :func:`export_predictor`."""
+    """Load an artifact written by :func:`export_predictor`.
+
+    Raises ``ValueError`` (with ``path`` in the message) for anything that
+    is not a well-formed artifact — bad magic, truncation, corrupt header —
+    matching the bad-magic path's loud-failure contract.
+    """
     from jax import export as jax_export
 
     with open(path, "rb") as f:
         magic = f.read(len(MAGIC))
         if magic != MAGIC:
             raise ValueError(f"{path}: not a vit_tpu export (bad magic {magic!r})")
-        (hlen,) = struct.unpack("<I", f.read(4))
-        header = json.loads(f.read(hlen).decode("utf-8"))
+        lenbytes = f.read(4)
+        if len(lenbytes) != 4:
+            raise ValueError(f"{path}: truncated vit_tpu export (no header length)")
+        (hlen,) = struct.unpack("<I", lenbytes)
+        if hlen == 0 or hlen > _MAX_HEADER:
+            raise ValueError(
+                f"{path}: corrupt vit_tpu export (header length {hlen})"
+            )
+        hraw = f.read(hlen)
+        if len(hraw) != hlen:
+            raise ValueError(f"{path}: truncated vit_tpu export (short header)")
+        try:
+            header = json.loads(hraw.decode("utf-8"))
+        except (UnicodeDecodeError, json.JSONDecodeError) as e:
+            raise ValueError(f"{path}: corrupt vit_tpu export header ({e})") from e
         if header.get("format") != _FORMAT:
             raise ValueError(f"{path}: unsupported format {header.get('format')}")
         blob = f.read()
     exported = jax_export.deserialize(blob)
+    if (
+        header.get("task_type") == "reg"
+        and (header.get("label_norm") or "none").lower() != "none"
+        and not header.get("denormalized", False)
+    ):
+        # Mirror the live Predictor's loud degradation notice: the artifact
+        # was exported without denorm stats, so it serves NORMALIZED units.
+        print(
+            f"[vit_tpu.export] WARNING: {path} was exported without label "
+            f"denormalization stats (label_norm={header.get('label_norm')!r}); "
+            "predictions are in NORMALIZED units, not physical units."
+        )
     return ExportedPredictor(header, exported)
