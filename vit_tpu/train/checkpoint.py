@@ -11,9 +11,20 @@ exactly (`vit.py:464`).
 Layout::
 
     <ckpt_dir>/<model_name>/
-        best/       orbax pytree of the best-monitor state
-        last/       orbax pytree of the latest state
+        best        symlink -> .versions/best-<n>   (atomic pointer)
+        last        symlink -> .versions/last-<n>
+        .versions/  committed orbax pytrees (one dir per save)
         meta.yaml   monitor name/mode, best value/epoch, config snapshot
+
+Crash safety: every save lands in a FRESH ``.versions/<name>-<n>`` dir
+(orbax itself commits that dir atomically via tmp-dir + rename), and only
+after the write is committed does the ``best``/``last`` symlink flip to it
+(``os.replace`` of a symlink — one atomic rename syscall). A SIGTERM, hard
+eviction, or exception at ANY point leaves the previous pointer target
+intact, so ``--ckpt last`` always resumes from a valid checkpoint — there
+is no window where ``last`` names a half-written or missing state (the old
+rmtree-then-save scheme had exactly that window). Superseded version dirs
+are deleted only after the pointer has moved off them.
 """
 
 from __future__ import annotations
@@ -64,8 +75,13 @@ class CheckpointManager:
         self._ckptr = None
         self.best_value: Optional[float] = None
         self.best_epoch: Optional[int] = None
+        # (pointer path, committed version dir) pairs whose symlink flip is
+        # deferred until the async write lands (see _flip_pending).
+        self._pending: list = []
+        self._counter = 0
         if enabled:
             os.makedirs(self.dir, exist_ok=True)
+            self._counter = self._scan_version_counter()
         # Lightning parity: ModelCheckpoint tracks best IN-MEMORY per run.
         # A fresh run with the same model_name must not inherit a previous
         # run's best (which would both skip best-saving and make run() test
@@ -82,6 +98,21 @@ class CheckpointManager:
 
     def _meta_path(self) -> str:
         return os.path.join(self.dir, "meta.yaml")
+
+    def _version_root(self) -> str:
+        return os.path.join(self.dir, ".versions")
+
+    def _scan_version_counter(self) -> int:
+        """Resume the version counter past anything already on disk (a
+        crashed run may have committed a version it never flipped to)."""
+        vroot = self._version_root()
+        n = 0
+        if os.path.isdir(vroot):
+            for name in os.listdir(vroot):
+                tail = name.rsplit("-", 1)[-1]
+                if tail.isdigit():
+                    n = max(n, int(tail))
+        return n
 
     def load_best_from_meta(self) -> None:
         """Seed the best tracker from a previous run's meta (resume only)."""
@@ -124,22 +155,61 @@ class CheckpointManager:
         return self._ckptr
 
     def wait(self) -> None:
-        """Fence: block until every in-flight async save has landed."""
+        """Fence: block until every in-flight async save has landed (and
+        flip the best/last pointers to the now-committed versions)."""
         if self._ckptr is not None:
             self._ckptr.wait_until_finished()
+            self._flip_pending()
+
+    def _flip_pending(self) -> None:
+        """Point each pending symlink at its committed version dir.
+
+        Only called after ``wait_until_finished`` — the version dir is
+        fully committed by then, so the flip (one ``os.replace`` rename)
+        is the sole state transition and is atomic. The superseded target
+        is removed only after the pointer has moved off it.
+        """
+        pending, self._pending = self._pending, []
+        for path, new in pending:
+            old_target = None
+            if os.path.islink(path):
+                old_target = os.path.realpath(path)
+            elif os.path.lexists(path):
+                # Legacy real-dir checkpoint (pre-pointer layout): move it
+                # into the version root so the name frees up for the
+                # symlink. One-time migration; the new version is already
+                # committed at this point.
+                old_target = os.path.join(
+                    self._version_root(),
+                    f"{os.path.basename(path)}-legacy-{self._counter:08d}",
+                )
+                os.rename(path, old_target)
+            tmp = f"{path}.lnk-{self._counter:08d}"
+            if os.path.lexists(tmp):
+                os.remove(tmp)
+            os.symlink(new, tmp)
+            os.replace(tmp, path)  # atomic pointer flip
+            if old_target and old_target != new and os.path.exists(old_target):
+                shutil.rmtree(old_target, ignore_errors=True)
 
     def _save(self, path: str, state: Any) -> None:
         ckptr = self._get_ckptr()
-        # At most one in-flight write, and the previous write to this path
-        # must land before its directory can be replaced.
+        # At most one in-flight write; flips deferred from a previous async
+        # save happen now that its write has landed.
         ckptr.wait_until_finished()
-        if os.path.exists(path):
-            shutil.rmtree(path)
+        self._flip_pending()
+        os.makedirs(self._version_root(), exist_ok=True)
+        self._counter += 1
+        version = os.path.join(
+            self._version_root(), f"{os.path.basename(path)}-{self._counter:08d}"
+        )
         # jax.device_get snapshots to host numpy — the training loop's
         # subsequent state updates cannot mutate what the writer sees.
-        ckptr.save(path, jax.device_get(state))
+        ckptr.save(version, jax.device_get(state))
+        self._pending.append((path, version))
         if not self.async_save:
             ckptr.wait_until_finished()
+            self._flip_pending()
 
     def on_epoch_end(
         self,
