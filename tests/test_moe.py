@@ -82,7 +82,9 @@ def _brute_moe(x, p, num_experts, top_k, cap):
     return y, float(np.mean(aux_rows))
 
 
-@pytest.mark.parametrize("top_k,cf", [(1, 1.0), (2, 1.0), (1, 0.4), (2, 0.3)])
+@pytest.mark.parametrize(
+    "top_k,cf", [(1, 1.0), (2, 1.0), (1, 0.4), (2, 0.3), (3, 1.0), (4, 0.5)]
+)
 def test_moe_matches_bruteforce(top_k, cf):
     """Exact routing semantics incl. capacity drops at tight cf."""
     cfg = _moe_cfg(experts=4, top_k=top_k, cf=cf, hidden=16)
@@ -166,6 +168,117 @@ def test_moe_grads_reach_all_experts():
         assert float(np.abs(np.asarray(leaf)).max()) > 0
 
 
+def test_moe_z_loss_sown_and_correct():
+    """moe_z_weight > 0 sows the ST-MoE z-loss mean(logsumexp(logits)^2)
+    alongside the LB aux; 0 sows nothing extra (positional contract)."""
+    x = jnp.asarray(
+        np.random.default_rng(4).standard_normal((2, 8, 16)), jnp.float32
+    )
+    cfg = get_vit_config(_cfg_dict(4, 1, 4.0, hidden=16, moe_z_weight=1e-3))
+    assert cfg.moe_z_weight == 1e-3  # the knob must survive get_vit_config
+    m = MoEMLP(cfg)
+    variables = {"params": m.init(jax.random.PRNGKey(0), x)["params"]}
+    _, cols = m.apply(variables, x, mutable=["losses"])
+    flat, _ = jax.tree_util.tree_flatten_with_path(cols["losses"])
+    by_name = {jax.tree_util.keystr(p): float(v) for p, v in flat}
+    z_keys = [k for k in by_name if "moe_z" in k]
+    assert len(z_keys) == 1, by_name
+    # recompute the z-loss from the router weights directly
+    router = variables["params"]["router"]
+    logits = x.astype(jnp.float32) @ router["kernel"] + router["bias"]
+    z = jax.nn.logsumexp(logits, axis=-1)
+    assert by_name[z_keys[0]] == pytest.approx(float(jnp.mean(z * z)), rel=1e-5)
+
+    # weight 0: only the LB aux is sown (older tools index by position)
+    m0 = MoEMLP(_moe_cfg(4, 1, 4.0, hidden=16))
+    v0 = {"params": m0.init(jax.random.PRNGKey(0), x)["params"]}
+    _, cols0 = m0.apply(v0, x, mutable=["losses"])
+    assert len(jax.tree_util.tree_leaves(cols0["losses"])) == 1
+
+
+def test_moe_router_jitter_training_only():
+    """Router jitter perturbs routing in training mode only: deterministic
+    forwards are jitter-free and reproducible; two training forwards with
+    different rng keys differ (the jitter moved near-tied decisions)."""
+    x = jnp.asarray(
+        np.random.default_rng(5).standard_normal((2, 16, 16)), jnp.float32
+    )
+    cfg = get_vit_config(
+        _cfg_dict(4, 1, 1.0, hidden=16, moe_router_jitter=0.5)
+    )
+    assert cfg.moe_router_jitter == 0.5
+    m = MoEMLP(cfg)
+    variables = {"params": m.init(jax.random.PRNGKey(0), x)["params"]}
+    det1, _ = m.apply(variables, x, mutable=["losses"])
+    det2, _ = m.apply(variables, x, mutable=["losses"])
+    np.testing.assert_array_equal(np.asarray(det1), np.asarray(det2))
+    tr1, _ = m.apply(
+        variables, x, False, mutable=["losses"],
+        rngs={"dropout": jax.random.PRNGKey(1)},
+    )
+    tr2, _ = m.apply(
+        variables, x, False, mutable=["losses"],
+        rngs={"dropout": jax.random.PRNGKey(2)},
+    )
+    assert not np.array_equal(np.asarray(tr1), np.asarray(tr2))
+
+
+def test_moe_dropped_frac_sown():
+    """The sown dropped_frac matches the brute-force count of capacity
+    drops: ample capacity -> 0; tight capacity -> the exact fraction."""
+    x = jnp.asarray(
+        np.random.default_rng(6).standard_normal((3, 10, 16)), jnp.float32
+    )
+    m_ample = MoEMLP(_moe_cfg(4, 2, 4.0, hidden=16))
+    v = m_ample.init(jax.random.PRNGKey(0), x)
+    _, cols = m_ample.apply(v, x, mutable=["losses", "moe_stats"])
+    assert float(jax.tree_util.tree_leaves(cols["moe_stats"])[0]) == 0.0
+
+    cf = 0.3
+    m_tight = MoEMLP(_moe_cfg(4, 2, cf, hidden=16))
+    v = m_tight.init(jax.random.PRNGKey(0), x)
+    _, cols = m_tight.apply(v, x, mutable=["losses", "moe_stats"])
+    got = float(jax.tree_util.tree_leaves(cols["moe_stats"])[0])
+    # brute-force count of kept slots at this capacity
+    cap = moe_capacity(10, 4, 2, cf)
+    logits = np.asarray(x, np.float64) @ np.asarray(
+        v["params"]["router"]["kernel"]
+    ) + np.asarray(v["params"]["router"]["bias"])
+    probs = _softmax(logits)
+    kept = 0
+    for row in range(3):
+        order = np.argsort(-probs[row], axis=-1)[:, :2]
+        counts = np.zeros(4, int)
+        for j in range(2):
+            for tok in range(10):
+                e = order[tok, j]
+                if counts[e] < cap:
+                    counts[e] += 1
+                    kept += 1
+    want = 1.0 - kept / (3 * 10 * 2)
+    assert got == pytest.approx(want, abs=1e-6)
+    assert got > 0.0
+
+
+def test_moe_dropped_frac_logged_per_epoch(tiny_config, tmp_path, monkeypatch):
+    """Experiment logs moe_dropped_frac each epoch (the tuning signal for
+    moe_capacity_factor)."""
+    from vit_tpu.train.loop import Experiment
+
+    monkeypatch.setenv("CKPT_DIR", str(tmp_path / "ckpt"))
+    cfg = dict(tiny_config)
+    cfg["model"] = dict(
+        tiny_config["model"], moe_experts=4, moe_top_k=2,
+        moe_capacity_factor=0.3,
+    )
+    exp = Experiment(cfg, seed=0)
+    metrics = exp.fit()
+    assert "moe_dropped_frac" in metrics, sorted(metrics)
+    # cf=0.3 with top_k=2 over 4 experts MUST drop: capacity covers at most
+    # cf/top_k*E = 60% of the (token, slot) assignments.
+    assert 0.0 < metrics["moe_dropped_frac"] <= 1.0
+
+
 def test_moe_experiment_end_to_end(tiny_config, tmp_path, monkeypatch):
     from vit_tpu.train.loop import Experiment
 
@@ -243,12 +356,13 @@ def test_moe_rejections_and_flops(tiny_config):
     from vit_tpu.train.loop import Experiment
     from vit_tpu.train.torch_bridge import to_torch_state_dict
 
-    # MoE + pipeline parallelism is rejected
+    # MoE + pipeline parallelism now composes (stage-resident layout) —
+    # construction succeeds and threads the router aux through the pipeline
+    # (tests/test_pp_resident.py covers the training parity).
     cfg = dict(tiny_config)
     cfg["model"] = dict(tiny_config["model"], moe_experts=4)
     cfg["train"] = dict(tiny_config["train"], pipeline_parallel=2)
-    with pytest.raises(ValueError, match="moe_experts"):
-        Experiment(cfg, seed=0)
+    assert Experiment(cfg, seed=0).pp_resident
 
     # torch export has no MoE counterpart
     bundle = get_model(_cfg_dict(experts=4))
@@ -257,9 +371,9 @@ def test_moe_rejections_and_flops(tiny_config):
     with pytest.raises(ValueError, match="MoE"):
         to_torch_state_dict(params, bundle.vit_config)
 
-    # invalid top_k
+    # invalid top_k (any k <= E is valid now; k > E still rejects)
     with pytest.raises(ValueError, match="moe_top_k"):
-        bad = get_model(_cfg_dict(experts=4, top_k=3))
+        bad = get_model(_cfg_dict(experts=4, top_k=5))
         bad.module.init(jax.random.PRNGKey(0), x)
 
     # FLOPs accounting grows with the dispatched-slot count

@@ -313,9 +313,18 @@ def test_experiment_pipeline_rejections(tiny_config):
     with pytest.raises(ValueError, match="divisible by"):
         Experiment(bad_layers, seed=0)
 
-    with_tp = _pp_experiment_config(tiny_config, 2, model_parallel=2)
-    with pytest.raises(ValueError, match="data parallelism only"):
+    # PP x TP needs the stage-resident layout (the replicated-canonical
+    # pipeline has no per-leaf TP specs); resident PP x TP itself is
+    # covered by tests/test_pp_resident.py.
+    with_tp = _pp_experiment_config(
+        tiny_config, 2, model_parallel=2, pipeline_stage_params=False
+    )
+    with pytest.raises(ValueError, match="stage-resident"):
         Experiment(with_tp, seed=0)
+
+    with_sp = _pp_experiment_config(tiny_config, 2, sequence_parallel=2)
+    with pytest.raises(ValueError, match="sequence_parallel"):
+        Experiment(with_sp, seed=0)
 
     with_ring = _pp_experiment_config(tiny_config, 2)
     with_ring["model"]["attn_impl"] = "ring"

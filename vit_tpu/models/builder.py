@@ -126,6 +126,12 @@ class VitConfig:
     # Weight of the Switch load-balance auxiliary loss in the training
     # objective (eval losses exclude it).
     moe_aux_weight: float = 0.01
+    # Router z-loss weight (ST-MoE): mean(logsumexp(router logits)^2),
+    # keeping logits bounded; 0 disables (and nothing extra is sown).
+    moe_z_weight: float = 0.0
+    # Switch-style router input jitter: multiplicative uniform noise in
+    # [1-j, 1+j] on the router input, training mode only; 0 disables.
+    moe_router_jitter: float = 0.0
     # Fused Pallas MLP kernel (vit_tpu.ops.fused_mlp): dense->GELU->dense in
     # one HBM round trip. Measured SLOWER on the baseline (105.7 vs 97.5
     # ms/epoch: per-call overhead matches the ops it replaces at this tiny
@@ -310,6 +316,8 @@ def get_vit_config(config: dict) -> VitConfig:
         moe_top_k=int(m.get("moe_top_k", 1) or 1),
         moe_capacity_factor=float(m.get("moe_capacity_factor", 1.25) or 1.25),
         moe_aux_weight=float(m.get("moe_aux_weight", 0.01) or 0.0),
+        moe_z_weight=float(m.get("moe_z_weight", 0.0) or 0.0),
+        moe_router_jitter=float(m.get("moe_router_jitter", 0.0) or 0.0),
     )
 
 

@@ -10,9 +10,15 @@ GShard/Switch rather than data-dependent gather/scatter, so XLA sees static
 shapes and pure matmuls:
 
 * Router: fp32 softmax over ``E`` logits per token; ``top_k`` (1 = Switch,
-  2 = GShard) experts per token. Gate values are renormalized over the
-  chosen k only for k >= 2 (GShard); k = 1 uses the raw top-1 probability
-  (Switch), which keeps the task-loss gradient flowing into the router.
+  2 = GShard, any k <= E supported) experts per token. Gate values are
+  renormalized over the chosen k only for k >= 2 (GShard); k = 1 uses the
+  raw top-1 probability (Switch), which keeps the task-loss gradient
+  flowing into the router. ``model.moe_router_jitter`` (Switch recipe)
+  multiplies the router INPUT by uniform noise in ``[1-j, 1+j]`` during
+  training only; ``model.moe_z_weight`` adds the router z-loss
+  ``mean(logsumexp(logits)^2)`` (ST-MoE eq. 5) to keep logits bounded —
+  sown as ``moe_z`` and weighted by the training objective
+  (:func:`vit_tpu.train.loop.make_train_forward`).
 * Capacity: each expert accepts at most ``C = ceil(top_k * T * cf / E)``
   tokens per batch row (``cf = moe_capacity_factor``); overflow tokens are
   dropped for that expert (their k-slot contributes zero — standard Switch
@@ -79,11 +85,9 @@ class MoEMLP(nn.Module):
         b, t, d = x.shape
         num_experts = int(cfg.moe_experts)
         top_k = int(getattr(cfg, "moe_top_k", 1) or 1)
-        if top_k not in (1, 2):
-            raise ValueError(f"moe_top_k must be 1 or 2, got {top_k}")
-        if top_k > num_experts:
+        if top_k < 1 or top_k > num_experts:
             raise ValueError(
-                f"moe_top_k={top_k} > moe_experts={num_experts}"
+                f"moe_top_k={top_k} must be in [1, moe_experts={num_experts}]"
             )
         cap = moe_capacity(
             t, num_experts, top_k,
@@ -92,10 +96,19 @@ class MoEMLP(nn.Module):
 
         # Router in fp32: softmax/top_k stability is worth more than the
         # (B, T, E) matmul's dtype.
+        router_in = x.astype(jnp.float32)
+        jitter = float(getattr(cfg, "moe_router_jitter", 0.0) or 0.0)
+        if jitter > 0.0 and not deterministic:
+            # Switch-style input jitter: training-only multiplicative noise
+            # decorrelates near-tied routing decisions.
+            key = self.make_rng("dropout")
+            router_in = router_in * jax.random.uniform(
+                key, router_in.shape, jnp.float32, 1.0 - jitter, 1.0 + jitter
+            )
         logits = nn.Dense(
             num_experts, dtype=jnp.float32, kernel_init=KERNEL_INIT,
             name="router",
-        )(x.astype(jnp.float32))
+        )(router_in)
         probs = jax.nn.softmax(logits, axis=-1)  # (B, T, E)
         gate_vals, gate_idx = jax.lax.top_k(probs, top_k)  # (B, T, k)
         if top_k > 1:
@@ -152,4 +165,18 @@ class MoEMLP(nn.Module):
         mean_prob = probs.mean(axis=1)  # (B, E)
         aux = num_experts * (first_frac * mean_prob).sum(-1).mean()
         self.sow("losses", "moe_aux", aux)
+        if float(getattr(cfg, "moe_z_weight", 0.0) or 0.0) > 0.0:
+            # Router z-loss (ST-MoE): penalize large logits so the fp32
+            # softmax stays well-conditioned. Sown only when enabled — the
+            # `losses` collection otherwise carries exactly the aux values
+            # older tests/tools index by position.
+            z = jax.nn.logsumexp(logits, axis=-1)
+            self.sow("losses", "moe_z", jnp.mean(z * z))
+        # Observability: fraction of (token, slot) assignments dropped by
+        # the capacity limit — the tuning signal for moe_capacity_factor,
+        # logged per epoch as `moe_dropped_frac` by the Experiment.
+        self.sow(
+            "moe_stats", "dropped_frac",
+            1.0 - keep.sum() / jnp.float32(b * t * top_k),
+        )
         return y

@@ -118,37 +118,51 @@ def make_train_forward(bundle: ModelBundle):
     the vmapped sweep, ``bench.py``): returns ``(apply_fn, moe_aux_weight)``.
 
     ``apply_fn(params, x, dropout_rng)`` returns ``logits`` for dense models,
-    or ``(logits, aux)`` for MoE models where ``aux`` is the UNWEIGHTED
-    Switch load-balance loss collected from the ``losses`` collection each
-    router sows into (:mod:`vit_tpu.models.moe`). Callers add
-    ``moe_aux_weight * aux`` to the training objective; eval metrics exclude
-    the regularizer. Centralized here so the sweep and the benchmark train
-    the SAME objective as :class:`Experiment`.
+    or ``(logits, reg)`` for MoE models where ``reg`` is the PRE-WEIGHTED
+    router regularizer (``moe_aux_weight * Switch-LB + moe_z_weight *
+    z-loss``) collected from the ``losses`` collection each router sows into
+    (:mod:`vit_tpu.models.moe`). Callers add ``weight * reg`` to the
+    training objective with the returned weight (1.0 when any router
+    regularizer is on); eval metrics exclude it. Centralized here so the
+    sweep and the benchmark train the SAME objective as :class:`Experiment`.
     """
     module = bundle.module
-    moe_aux_w = (
-        float(getattr(bundle.vit_config, "moe_aux_weight", 0.0) or 0.0)
-        if getattr(bundle.vit_config, "moe_experts", 0) > 1
-        else 0.0
-    )
-    if moe_aux_w > 0.0:
+    vc = bundle.vit_config
+    is_moe = getattr(vc, "moe_experts", 0) > 1
+    aux_w = float(getattr(vc, "moe_aux_weight", 0.0) or 0.0) if is_moe else 0.0
+    z_w = float(getattr(vc, "moe_z_weight", 0.0) or 0.0) if is_moe else 0.0
+    if aux_w > 0.0 or z_w > 0.0:
+        # The returned regularizer is PRE-WEIGHTED (aux_w * LB + z_w * z)
+        # so callers add it with weight 1.0 — one contract whether the
+        # router sows only `moe_aux` or also `moe_z`.
         def apply_fn(params, x, dropout_rng):
             logits, cols = module.apply(
                 {"params": params}, x, deterministic=False,
                 rngs={"dropout": dropout_rng}, mutable=["losses"],
             )
-            aux_leaves = jax.tree_util.tree_leaves(cols["losses"])
-            aux = sum(jnp.mean(a) for a in aux_leaves) / max(
-                len(aux_leaves), 1
-            )
-            return logits, aux
-    else:
-        def apply_fn(params, x, dropout_rng):
-            return module.apply(
-                {"params": params}, x, deterministic=False,
-                rngs={"dropout": dropout_rng},
-            )
-    return apply_fn, moe_aux_w
+            flat, _ = jax.tree_util.tree_flatten_with_path(cols["losses"])
+            aux_vals = [
+                jnp.mean(v) for p, v in flat
+                if "moe_z" not in jax.tree_util.keystr(p)
+            ]
+            z_vals = [
+                jnp.mean(v) for p, v in flat
+                if "moe_z" in jax.tree_util.keystr(p)
+            ]
+            reg = aux_w * (sum(aux_vals) / max(len(aux_vals), 1))
+            if z_vals:
+                reg = reg + z_w * (sum(z_vals) / len(z_vals))
+            return logits, reg
+
+        return apply_fn, 1.0
+
+    def apply_fn(params, x, dropout_rng):
+        return module.apply(
+            {"params": params}, x, deterministic=False,
+            rngs={"dropout": dropout_rng},
+        )
+
+    return apply_fn, 0.0
 
 
 def _make_grads_fn(bundle: ModelBundle, noise_level: float, accum_steps: int = 1,
@@ -310,6 +324,7 @@ def make_train_epoch(
     accum_steps: int = 1,
     gather_mode: str = "block",
     apply_fn=None,
+    eval_apply_fn=None,
 ) -> Callable:
     """Whole-epoch training as ONE dispatch: ``lax.scan`` over steps.
 
@@ -411,7 +426,14 @@ def make_train_epoch(
             chunks = jax.lax.with_sharding_constraint(chunks, batch_constraint)
 
         def val_step(_, chunk):
-            logits = module.apply({"params": state.params}, chunk, deterministic=True)
+            # eval_apply_fn: the fused-val forward override (stage-resident
+            # pipeline runs — the monolithic apply can't read stacked params)
+            if eval_apply_fn is not None:
+                logits = eval_apply_fn(state.params, chunk)
+            else:
+                logits = module.apply(
+                    {"params": state.params}, chunk, deterministic=True
+                )
             return None, logits
 
         _, val_logits = jax.lax.scan(val_step, None, chunks)
@@ -627,10 +649,23 @@ class Experiment:
         # Pipeline parallelism: train.pipeline_parallel splits the encoder's
         # layers into GPipe stages over a `pipe` mesh axis
         # (vit_tpu/parallel/pipeline.py); train.pipeline_microbatches (default
-        # = stage count) sets the schedule's microbatch count. Params stay in
-        # the canonical layout — checkpoints/eval/torch-bridge are untouched;
-        # only the training forward is staged.
+        # = stage count) sets the schedule's microbatch count. By default
+        # (train.pipeline_stage_params, on) the run is MEMORY-REAL: encoder
+        # params AND optimizer state live stage-sharded over `pipe` as the
+        # resident layout (1/P per-device bytes — a model whose params+opt
+        # exceed one chip can train), with checkpoints gathered to the
+        # canonical per-layer layout on save and restacked on restore, so
+        # --ckpt/torch-bridge interchange is unchanged. pipeline_stage_params:
+        # false keeps the round-4 layout (replicated canonical params,
+        # in-step restack) for composition with zero1. Composes with
+        # train.model_parallel (stage kernels shard over `model`, GSPMD-auto
+        # inside the pipeline body) and with MoE (router aux threaded
+        # through the pipeline; with model_parallel the experts are
+        # expert-parallel inside each stage).
         self.pp = int(train_cfg.get("pipeline_parallel", 1) or 1)
+        self.pp_resident = self.pp > 1 and bool(
+            train_cfg.get("pipeline_stage_params", True)
+        )
         if self.pp > 1:
             if self.bundle.vit_config.attn_impl == "ring":
                 raise ValueError(
@@ -639,17 +674,17 @@ class Experiment:
                     "axis); use attn_impl auto/xla/flash with "
                     "train.pipeline_parallel"
                 )
-            if tp > 1 or self.sp > 1:
+            if self.sp > 1:
                 raise ValueError(
-                    "train.pipeline_parallel composes with data parallelism "
-                    "only; set model_parallel/sequence_parallel to 1"
+                    "train.sequence_parallel cannot compose with "
+                    "train.pipeline_parallel (ring attention shard_maps the "
+                    "sequence over the axis the pipeline body would need)"
                 )
-            if getattr(self.bundle.vit_config, "moe_experts", 0) > 1:
+            if tp > 1 and not self.pp_resident:
                 raise ValueError(
-                    "model.moe_experts cannot compose with "
-                    "train.pipeline_parallel yet (the router's load-balance "
-                    "loss is sown outside the pipeline's shard_map); use "
-                    "expert parallelism via train.model_parallel instead"
+                    "train.model_parallel x pipeline_parallel requires the "
+                    "stage-resident layout (train.pipeline_stage_params: "
+                    "true, the default)"
                 )
             layers = self.bundle.vit_config.num_hidden_layers
             if layers % self.pp != 0:
@@ -682,6 +717,14 @@ class Experiment:
                 "parallelism only: under model_parallel the moments already "
                 "inherit the tensor-parallel layouts; set model_parallel/"
                 "sequence_parallel to 1"
+            )
+        if self.zero1 and self.pp_resident:
+            raise ValueError(
+                "train.opt_state_sharding is redundant with the stage-"
+                "resident pipeline layout (encoder optimizer state is "
+                "already 1/P-sharded over `pipe`); set "
+                "train.pipeline_stage_params: false to combine zero1 with "
+                "the replicated-params pipeline"
             )
         # The pipelined forward sees the PER-FORWARD batch: with gradient
         # accumulation that is batch_size/accum_steps rows, and each of the
@@ -739,6 +782,7 @@ class Experiment:
         self.state_shard = self.repl_shard  # refined by _init_state (TP trees)
         self._eval_step = None
         self._capture_step = None
+        self._moe_stats_step = None
         self.callback_metrics: Dict[str, float] = {}
 
     # -- construction helpers -------------------------------------------
@@ -756,15 +800,90 @@ class Experiment:
         module = self.bundle.module
         mesh, m = self.mesh, self.pp_microbatches
         batch_axis = "data" if self.mesh.shape.get("data", 1) > 1 else None
+        resident = self.pp_resident
+        tp_axis = "model" if self.mesh.shape.get("model", 1) > 1 else None
 
         def apply_fn(params, x, dropout_rng):
             return apply_pipelined(
                 module, params, x, mesh=mesh, num_microbatches=m,
                 batch_axis=batch_axis, deterministic=False,
                 rngs={"dropout": dropout_rng},
+                resident=resident, tp_axis=tp_axis,
             )
 
         return apply_fn
+
+    def _pp_eval_apply_fn(self):
+        """Deterministic pipelined forward on the resident params — the
+        eval/val analogue of :meth:`_train_apply_fn` (the monolithic
+        ``module.apply`` cannot consume the stage-resident tree)."""
+        from vit_tpu.parallel.pipeline import apply_pipelined
+
+        module = self.bundle.module
+        mesh, m = self.mesh, self.pp_microbatches
+        batch_axis = "data" if self.mesh.shape.get("data", 1) > 1 else None
+        tp_axis = "model" if self.mesh.shape.get("model", 1) > 1 else None
+
+        def eval_apply(params, x):
+            out = apply_pipelined(
+                module, params, x, mesh=mesh, num_microbatches=m,
+                batch_axis=batch_axis, deterministic=True,
+                resident=True, tp_axis=tp_axis,
+            )
+            return out[0] if isinstance(out, tuple) else out
+
+        return eval_apply
+
+    # -- stage-resident layout conversions (pipeline_stage_params) -------
+    def _state_to_canonical(self, state: "TrainState") -> "TrainState":
+        """Resident (stacked encoder) -> canonical per-layer state; host-side
+        numpy in, numpy out (no device placement). Optimizer moments are
+        converted by structural matching (params-shaped subtrees)."""
+        from vit_tpu.parallel.pipeline import (
+            canonical_params,
+            convert_params_shaped,
+        )
+
+        td = jax.tree_util.tree_structure(state.params)
+        return state.replace(
+            params=canonical_params(state.params),
+            opt_state=convert_params_shaped(
+                state.opt_state, td, canonical_params
+            ),
+        )
+
+    def _state_to_resident(self, state: "TrainState") -> "TrainState":
+        """Canonical -> resident (inverse of :meth:`_state_to_canonical`)."""
+        from vit_tpu.parallel.pipeline import (
+            convert_params_shaped,
+            stage_resident_params,
+        )
+
+        td = jax.tree_util.tree_structure(state.params)
+        conv = lambda p: stage_resident_params(p, self.pp)  # noqa: E731
+        return state.replace(
+            params=conv(state.params),
+            opt_state=convert_params_shaped(state.opt_state, td, conv),
+        )
+
+    def _ckpt_state(self) -> "TrainState":
+        """The state as checkpoints store it: canonical per-layer layout
+        (gathered to host first under the stage-resident pipeline)."""
+        if not self.pp_resident:
+            return self.state
+        # device_get gathers the pipe-sharded leaves to host numpy — the
+        # full tree exists on HOST RAM only, never replicated into HBM.
+        return self._state_to_canonical(jax.device_get(self.state))
+
+    def _restore_state(self, spec: str) -> "TrainState":
+        """Restore ``best|last|path`` into the run's resident layout."""
+        target = self.state
+        if self.pp_resident:
+            target = self._state_to_canonical(jax.device_get(self.state))
+        restored = CheckpointManager.restore(self.ckpt.resolve(spec), target)
+        if self.pp_resident:
+            restored = self._state_to_resident(restored)
+        return jax.device_put(restored, self.state_shard)
 
     @_with_mesh
     def _init_state(self, tx) -> TrainState:
@@ -797,6 +916,38 @@ class Experiment:
         tp = self.mesh.shape.get("model", 1)
         if getattr(self, "sp", 1) > 1:
             tp = 1  # SP reuses the axis for sequence sharding; params replicate
+        if getattr(self, "pp_resident", False):
+            # Memory-real pipeline: the RESIDENT layout is the stacked
+            # (P, L/P, ...) encoder sharded over `pipe` (optionally x TP over
+            # `model`); the optimizer initialized ON that tree inherits the
+            # same shardings, so params + moments are both 1/P per device.
+            from vit_tpu.parallel.pipeline import (
+                resident_param_shardings,
+                stage_resident_params,
+            )
+
+            resident = stage_resident_params(params, self.pp)
+            shardings = resident_param_shardings(
+                resident, self.mesh, tp_axis="model" if tp > 1 else None
+            )
+            resident = jax.device_put(resident, shardings)
+            opt_state = tx.init(resident)
+            opt_state = jax.tree_util.tree_map(
+                lambda x: jax.device_put(x, self.repl_shard)
+                if getattr(x, "ndim", None) == 0
+                else x,
+                opt_state,
+            )
+            state = TrainState(
+                step=jax.device_put(jnp.zeros((), jnp.int32), self.repl_shard),
+                params=resident,
+                opt_state=opt_state,
+                rng=jax.device_put(state_rng, self.repl_shard),
+                plateau_scale=self._scalar(1.0),
+                frozen=self._scalar(0.0),
+            )
+            self.state_shard = jax.tree_util.tree_map(lambda x: x.sharding, state)
+            return state
         if tp > 1:
             # Tensor-parallel layout: params per infer_param_shardings; the
             # optimizer moments inherit the params' shardings (eager optax
@@ -880,12 +1031,26 @@ class Experiment:
                 if isinstance(self.state_shard, TrainState)
                 else self.state_shard
             )
-            self._eval_step = make_eval_step(
-                self.bundle, params_shard, self.batch_shard,
-                repl_sharding=self.repl_shard,
-            )
+            if self.pp_resident:
+                # Stage-resident pipeline: the monolithic module.apply can't
+                # consume the stacked params — eval runs the deterministic
+                # pipelined forward on the SAME resident tree.
+                eval_apply = self._pp_eval_apply_fn()
+                self._eval_step = jax.jit(
+                    lambda params, batch: eval_apply(params, batch["x"]),
+                    in_shardings=(params_shard, self.batch_shard),
+                    out_shardings=self.repl_shard,
+                )
+            else:
+                self._eval_step = make_eval_step(
+                    self.bundle, params_shard, self.batch_shard,
+                    repl_sharding=self.repl_shard,
+                )
         n_shards = self.mesh.shape.get("data", 1)
-        bs = max(n_shards, (batch_size // n_shards) * n_shards)
+        # Under the resident pipeline each eval batch also splits into the
+        # schedule's microbatches, so the row unit grows accordingly.
+        unit = n_shards * (self.pp_microbatches if self.pp_resident else 1)
+        bs = max(unit, (batch_size // unit) * unit)
         # Only x/label cross to device: eval reads batch['x'] in-graph and
         # label/mask host-side — shipping the flux/error duplicates tripled
         # the host->device volume per eval epoch.
@@ -965,9 +1130,59 @@ class Experiment:
             if n % self.mesh.shape.get("data", 1) == 0
             else self.repl_shard,
         )
-        logits, reduced = self._capture_step(self.state.params, batch)
+        capture_params = self.state.params
+        if self.pp_resident:
+            # Viz capture needs the monolithic forward (intermediates are
+            # sown per named layer): gather the stage-resident tree to the
+            # canonical layout, replicated. This transiently materializes
+            # the FULL params on every device — viz targets small models;
+            # disable viz for models that only fit stage-sharded.
+            from vit_tpu.parallel.pipeline import canonical_params
+
+            capture_params = jax.device_put(
+                canonical_params(jax.device_get(self.state.params)),
+                self.repl_shard,
+            )
+        logits, reduced = self._capture_step(capture_params, batch)
         diag = extract_diagnostics(jax.device_get(reduced))
         return (_np.asarray(jax.device_get(logits)), labels_host, diag)
+
+    def _moe_dropped_frac(self) -> Optional[float]:
+        """Mean fraction of (token, slot) assignments the MoE capacity limit
+        dropped, measured on a deterministic forward over (up to) one
+        batch of val rows — the per-epoch tuning signal for
+        ``moe_capacity_factor`` (training adds dropout/jitter, so the
+        train-time fraction can differ slightly; this makes drops VISIBLE
+        rather than bit-exact). Logged as ``moe_dropped_frac``."""
+        if getattr(self.bundle.vit_config, "moe_experts", 0) <= 1:
+            return None
+        ds = self.datamodule.val or self.datamodule.train
+        if ds is None or len(ds) == 0:
+            return None
+        if self._moe_stats_step is None:
+            module = self.bundle.module
+
+            def stats(params, x):
+                _, cols = module.apply(
+                    {"params": params}, x, deterministic=True,
+                    mutable=["moe_stats"],
+                )
+                leaves = jax.tree_util.tree_leaves(cols["moe_stats"])
+                return sum(jnp.mean(l) for l in leaves) / max(len(leaves), 1)
+
+            self._moe_stats_step = jax.jit(stats)
+        params = self.state.params
+        if self.pp_resident:
+            from vit_tpu.parallel.pipeline import canonical_params
+
+            params = jax.device_put(
+                canonical_params(jax.device_get(params)), self.repl_shard
+            )
+        n = min(self.batch_size, len(ds))
+        x = jax.device_put(
+            np.asarray(ds.arrays()["x"][:n], np.float32), self.repl_shard
+        )
+        return float(jax.device_get(self._moe_stats_step(params, x)))
 
     def _metrics_from_arrays(
         self, logits: np.ndarray, labels: np.ndarray, prefix: str
@@ -1098,12 +1313,13 @@ class Experiment:
                     f"train.epoch_gather must be 'step' or 'block', got "
                     f"{gather_mode!r}"
                 )
+            pp_eval_fn = self._pp_eval_apply_fn() if self.pp_resident else None
             train_epoch = make_train_epoch(
                 self.bundle, tx, spec, self.noise_level, self.batch_size,
                 steps_per_epoch, self.state_shard, batch_constraint,
                 with_val=fused_val, repl_sharding=self.repl_shard,
                 accum_steps=self.accum_steps, gather_mode=gather_mode,
-                apply_fn=self._train_apply_fn(),
+                apply_fn=self._train_apply_fn(), eval_apply_fn=pp_eval_fn,
             )
             # Multi-epoch blocks (train.epochs_per_dispatch > 1): N epochs in
             # ONE dispatch, amortizing the host round-trip. Per-epoch val
@@ -1123,6 +1339,7 @@ class Experiment:
                     with_val=fused_val, repl_sharding=self.repl_shard,
                     n_epochs=epd, accum_steps=self.accum_steps,
                     gather_mode=gather_mode, apply_fn=self._train_apply_fn(),
+                    eval_apply_fn=pp_eval_fn,
                 )
                 if use_blocks
                 else None
@@ -1162,10 +1379,7 @@ class Experiment:
         start_epoch = 0
         if self.ckpt_path:
             self.ckpt.load_best_from_meta()  # resume best-tracker state too
-            restored = CheckpointManager.restore(
-                self.ckpt.resolve(self.ckpt_path), self.state
-            )
-            self.state = jax.device_put(restored, self.state_shard)
+            self.state = self._restore_state(self.ckpt_path)
             start_epoch = int(self.state.step) // steps_per_epoch
             print(f"[experiment] resumed from {self.ckpt_path} at epoch {start_epoch}")
 
@@ -1395,6 +1609,10 @@ class Experiment:
                     )
             if self.bundle.has_preprocessor:
                 epoch_metrics["preprocessor_frozen"] = float(self.state.frozen)
+            if getattr(self.bundle.vit_config, "moe_experts", 0) > 1:
+                dropped = self._moe_dropped_frac()
+                if dropped is not None:
+                    epoch_metrics["moe_dropped_frac"] = dropped
 
             if has_val:
                 if use_fused and fused_val and fused_val_logits is not None:
@@ -1440,7 +1658,7 @@ class Experiment:
                     extra["early_stop_state"] = early.state_dict()
                     if plateau is not None:
                         extra["plateau_state"] = plateau.state_dict()
-                    self.ckpt.on_epoch_end(self.state, epoch, mon, config=self.config, extra=extra)
+                    self.ckpt.on_epoch_end(self._ckpt_state(), epoch, mon, config=self.config, extra=extra)
                 self.logger.log_epoch(
                     epoch, epoch_metrics,
                     # per-epoch step even in block mode (state.step is the
@@ -1453,7 +1671,7 @@ class Experiment:
                     break
             else:
                 if block_final:
-                    self.ckpt.on_epoch_end(self.state, epoch, None, config=self.config, extra=ckpt_extra)
+                    self.ckpt.on_epoch_end(self._ckpt_state(), epoch, None, config=self.config, extra=ckpt_extra)
                 self.logger.log_epoch(
                     epoch, epoch_metrics,
                     # per-epoch step even in block mode (state.step is the
@@ -1507,8 +1725,7 @@ class Experiment:
             self.state = self._init_state(tx)
         if ckpt:
             self.ckpt.wait()  # async saves must land before read-back
-            restored = CheckpointManager.restore(self.ckpt.resolve(ckpt), self.state)
-            self.state = jax.device_put(restored, self.state_shard)
+            self.state = self._restore_state(ckpt)
         metrics = self._eval_metrics(
             self.datamodule.test, "test", self.batch_size
         )
