@@ -48,6 +48,9 @@ options
       --save            save checkpoints
       --ckpt SPEC       best | last | path (test / resume)
       --dry-run         lr mode: print the sweep plan, train nothing
+      --engine MODE     lr mode: vmap (default, whole grid in one compile)
+                        or sequential (one full-fidelity Experiment per
+                        trial — ring/pipeline configs train UNSUBSTITUTED)
   -e, --entity NAME     W&B entity (sweep mode; or $WANDB_ENTITY)
   -p, --project NAME    W&B project (sweep mode)            [vit-test]
       --count N         trials per W&B agent
@@ -70,6 +73,7 @@ debug_lvl=0
 save_ckpts=0
 ckpt_spec=""
 dry_run=0
+sweep_engine=vmap
 wb_entity="${WANDB_ENTITY:-}"
 wb_project="${WANDB_PROJECT:-vit-test}"
 agent_trials=""
@@ -92,6 +96,7 @@ while (($#)); do
     -e|--entity)      wb_entity=${2:?$opt needs a value}; shift;;
     -p|--project)     wb_project=${2:?$opt needs a value}; shift;;
     --count)          agent_trials=${2:?$opt needs a value}; shift;;
+    --engine)         sweep_engine=${2:?$opt needs a value}; shift;;
     *)                passthru+=("$opt");;
   esac
   shift
@@ -143,7 +148,8 @@ lr_search() {
 
   # stage 1: LR grid, no scheduler
   "$py" -m vit_tpu.opt.parallel_sweep "$cfg" "${grid[@]}" \
-    --schedulers none --gpus "$replicas" --results-dir "$outdir"
+    --schedulers none --gpus "$replicas" --results-dir "$outdir" \
+    --engine "$sweep_engine"
   stage_dir=$(ls -td "$outdir"/parallel_sweep_* 2>/dev/null | head -1)
   [[ -n $stage_dir ]] || die "stage-1 sweep produced no results directory"
   best_lr=$("$py" -c "import yaml,sys; print(yaml.safe_load(open(sys.argv[1]))['best']['config']['lr'])" \
@@ -154,7 +160,8 @@ lr_search() {
   "$py" -m vit_tpu.opt.parallel_sweep "$cfg" \
     --lr "$best_lr" --schedulers plateau cosine none \
     --plateau-factor 0.8 --plateau-patience 10 \
-    --gpus "$replicas" --results-dir "$outdir"
+    --gpus "$replicas" --results-dir "$outdir" \
+    --engine "$sweep_engine"
   stage_dir=$(ls -td "$outdir"/parallel_sweep_* 2>/dev/null | head -1)
 
   "$py" - "$stage_dir" <<'PY'

@@ -405,3 +405,87 @@ def test_sweep_preemption_stops_at_epoch_boundary(
         assert r["status"] == "ok"
         assert "preemption stop" in (r["message"] or "")
         assert r["metric"] is not None
+
+
+def test_sequential_engine_trains_ring_unsubstituted(
+    sweep_base_config, tmp_path, capsys, monkeypatch
+):
+    """--engine sequential: a ring config is swept on the REAL ring path
+    (no ring->xla substitution, the in-mesh ring kernel actually runs) and
+    emits the same summary.yaml/best_config.yaml artifacts, so the
+    two-stage lr flow can tune the dynamics the final run trains."""
+    import vit_tpu.ops.ring_attention as ra
+
+    calls = {"n": 0}
+    real = ra.ring_attention
+
+    def spy(*a, **k):
+        calls["n"] += 1
+        return real(*a, **k)
+
+    monkeypatch.setattr(ra, "ring_attention", spy)
+
+    # length 480 -> 15 patches + CLS = 16 tokens: divides sequence_parallel=2
+    # (tiny_config's 512 gives 17 tokens, indivisible)
+    from vit_tpu.data.synthetic import write_dummy_h5
+
+    h5 = str(tmp_path / "ring.h5")
+    write_dummy_h5(h5, n=96, length=480, seed=0)
+    with open(sweep_base_config) as f:
+        cfg = yaml.safe_load(f)
+    cfg["model"]["image_size"] = 480
+    cfg["model"]["attn_impl"] = "ring"
+    cfg["train"]["sequence_parallel"] = 2
+    cfg["train"]["ep"] = 1
+    cfg["data"].update(file_path=h5, val_path=h5, test_path=h5)
+    path = str(tmp_path / "ring.yaml")
+    with open(path, "w") as f:
+        yaml.safe_dump(cfg, f)
+
+    runner = ParallelSweepRunner(
+        path, lr_values=[1e-3, 1e-4], results_dir=str(tmp_path / "runs"),
+        seed=0, engine="sequential",
+    )
+    best = runner.run()
+    out = capsys.readouterr().out
+    assert "ring -> xla" not in out, "sequential engine must NOT substitute"
+    assert calls["n"] > 0, "ring kernel never ran"
+    assert best is not None and best.metric is not None
+
+    with open(runner.summary_path) as f:
+        summary = yaml.safe_load(f)
+    assert summary["engine"] == "sequential"
+    assert len(summary["results"]) == 2
+    assert all(r["status"] == "ok" for r in summary["results"])
+    with open(runner.best_config_path) as f:
+        best_cfg = yaml.safe_load(f)
+    # the artifact preserves the ring config (the final run trains ring)
+    assert best_cfg["model"]["attn_impl"] == "ring"
+    assert best_cfg["opt"]["lr"] == summary["best"]["config"]["lr"]
+
+
+def test_sequential_engine_isolates_trial_failure(sweep_base_config, tmp_path):
+    """One diverging trial (absurd lr, no clip) -> status='error', the
+    other trial still wins; matches the vmapped engine's isolation."""
+    with open(sweep_base_config) as f:
+        cfg = yaml.safe_load(f)
+    cfg["train"]["grad_clip"] = 0.0
+    cfg["train"]["ep"] = 1
+    path = str(tmp_path / "noclip.yaml")
+    with open(path, "w") as f:
+        yaml.safe_dump(cfg, f)
+    runner = ParallelSweepRunner(
+        path, lr_values=[1e-3, 1e6], results_dir=str(tmp_path / "runs"),
+        seed=0, engine="sequential",
+    )
+    best = runner.run()
+    assert best is not None and best.config.lr == 1e-3
+    with open(runner.summary_path) as f:
+        summary = yaml.safe_load(f)
+    statuses = {r["config"]["lr"]: r["status"] for r in summary["results"]}
+    assert statuses[1e-3] == "ok" and statuses[1e6] == "error"
+
+
+def test_engine_arg_validated():
+    with pytest.raises(ValueError, match="engine"):
+        ParallelSweepRunner("/nonexistent.yaml", engine="bogus")

@@ -157,6 +157,70 @@ def sweep_epoch_scales(
     return scales
 
 
+class _SequentialSweepEngine:
+    """Sequential-fidelity fallback: one full :class:`Experiment` per trial.
+
+    The vmapped engine substitutes dynamics it cannot nest inside the
+    replica vmap (``attn_impl: ring`` -> xla, ``pipeline_parallel`` -> 1)
+    — deterministically identical math, but the dropout STREAMS differ, so
+    the lr/scheduler it selects was never validated on the dynamics the
+    final run trains. This engine trains each trial UNSUBSTITUTED, one at
+    a time (ring shard_maps the sequence, the pipeline shard_maps stages —
+    exactly as the final run will), and emits the same ``summary.yaml`` /
+    ``best_config.yaml`` artifacts. Slower by ~R x; use it when the config
+    uses ring/pipeline parallelism and fidelity matters more than
+    wall-clock. Reference artifact contract:
+    `/root/reference/src/opt/parallel_sweep.py:371-420` (the reference is
+    sequential-per-process too).
+
+    Per-trial semantics match the vmapped engine: seed = ``seed + idx``
+    (independent init/noise/shuffle streams), per-trial divergence or
+    exception -> ``status='error'`` without aborting the sweep, metric =
+    the trial's last computed monitor value.
+    """
+
+    def __init__(self, base_config: dict, configs: List[SweepConfig],
+                 metric_name: str, metric_goal: str, seed: int,
+                 skip_test: bool = True):
+        self.base_config = base_config
+        self.configs = configs
+        self.metric_name = metric_name
+        self.metric_goal = metric_goal
+        self.seed = seed
+        self.skip_test = skip_test
+
+    def run(self) -> List[SweepResult]:
+        from vit_tpu.train.loop import Experiment
+
+        results: List[SweepResult] = []
+        for c in self.configs:
+            cfg = copy.deepcopy(self.base_config)
+            cfg.setdefault("train", {})["save"] = False
+            cfg.setdefault("project", "vit-opt-sweep")
+            (cfg.setdefault("viz", {}))["enable"] = False
+            cfg.setdefault("opt", {}).update(c.to_opt_config())
+            t0 = time.perf_counter()
+            try:
+                exp = Experiment(cfg, seed=self.seed + c.idx)
+                metrics = exp.fit()
+                metric = metrics.get(self.metric_name)
+                metric = float(metric) if metric is not None else None
+                status, msg = "ok", None
+                if metric is None or not math.isfinite(metric):
+                    status, msg = "error", (
+                        f"{self.metric_name} is "
+                        f"{'missing' if metric is None else 'non-finite'}"
+                    )
+            except Exception as e:  # isolate per-trial failures
+                metric, status, msg = None, "error", f"{type(e).__name__}: {e}"
+            results.append(SweepResult(
+                config=c, metric=metric,
+                duration_sec=time.perf_counter() - t0,
+                status=status, message=msg,
+            ))
+        return results
+
+
 class _VmapSweepEngine:
     """Train every SweepConfig simultaneously as vmapped replicas."""
 
@@ -609,10 +673,15 @@ class ParallelSweepRunner:
         gpu_ids: Optional[List[int]] = None,
         seed: int = 42,
         skip_test: bool = True,
+        engine: str = "vmap",
     ) -> None:
         from vit_tpu.config import load_config
         from vit_tpu.hardware import enable_compilation_cache
 
+        if engine not in ("vmap", "sequential"):
+            raise ValueError(
+                f"engine must be 'vmap' or 'sequential', got {engine!r}"
+            )
         self.base_config_path = base_config_path
         self.base_config = load_config(base_config_path)
         # The vmapped sweep program is the most expensive compile in the
@@ -631,6 +700,7 @@ class ParallelSweepRunner:
         self.gpu_ids = gpu_ids or list(range(8))
         self.seed = seed
         self.skip_test = skip_test
+        self.engine = engine
 
         results_root = results_dir or "./opt_runs"
         stamp = datetime.now().strftime("%Y%m%d_%H%M%S")
@@ -663,8 +733,12 @@ class ParallelSweepRunner:
         return configs
 
     def run(self, dry_run: bool = False) -> Optional[SweepResult]:
+        kind = (
+            "vmapped TPU replicas" if self.engine == "vmap"
+            else "sequential full-fidelity trials"
+        )
         print("=" * 62)
-        print(f"Parallel LR sweep (vmapped TPU replicas): {len(self.sweep_configs)} configs")
+        print(f"Parallel LR sweep ({kind}): {len(self.sweep_configs)} configs")
         print(f"  base config : {self.base_config_path}")
         print(f"  metric      : {self.metric_name} ({self.metric_goal})")
         print(f"  lr values   : {self.lr_values}")
@@ -679,7 +753,10 @@ class ParallelSweepRunner:
             return None
 
         os.makedirs(self.run_dir, exist_ok=True)
-        engine = _VmapSweepEngine(
+        engine_cls = (
+            _VmapSweepEngine if self.engine == "vmap" else _SequentialSweepEngine
+        )
+        engine = engine_cls(
             self.base_config, self.sweep_configs, self.metric_name,
             self.metric_goal, self.seed, skip_test=self.skip_test,
         )
@@ -747,6 +824,7 @@ class ParallelSweepRunner:
                 "cosine_eta_min": self.cosine_eta_min,
             },
             "gpus": self.gpu_ids,
+            "engine": self.engine,
             "num_configs": len(self.sweep_configs),
             "results": [r.to_dict() for r in results],
             "best": best.to_dict(),
@@ -789,6 +867,14 @@ def _parse_args() -> argparse.Namespace:
     parser.add_argument("--gpus", help="Comma-separated replica ids (count is informational on TPU)")
     parser.add_argument("--results-dir", help="Directory for sweep results (default: ./opt_runs)")
     parser.add_argument("--seed", type=int, default=42, help="Base random seed")
+    parser.add_argument("--engine", choices=("vmap", "sequential"),
+                        default="vmap",
+                        help="vmap: the whole grid as vmapped replicas in "
+                             "one compile (fast; substitutes ring->xla and "
+                             "unstages the pipeline). sequential: one full "
+                             "Experiment per trial, UNSUBSTITUTED dynamics "
+                             "(use for ring/pipeline configs when the tuned "
+                             "lr must see the real dropout streams)")
     parser.add_argument("--run-test", action="store_true",
                         help="Also execute the test loop after each fit")
     parser.add_argument("--dry-run", action="store_true",
@@ -815,6 +901,7 @@ def main() -> int:
         gpu_ids=gpu_ids,
         seed=args.seed,
         skip_test=not args.run_test,
+        engine=args.engine,
     )
     runner.run(dry_run=args.dry_run)
     return 0
