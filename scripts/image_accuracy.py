@@ -1,0 +1,288 @@
+#!/usr/bin/env python
+"""Image-family converged-accuracy evidence (driver configs 2/3).
+
+The spectra-scale parity run (`scripts/accuracy_parity.py`) closes the
+"at matching val accuracy" clause at ViT-Tiny scale; THIS script closes it
+where the image-family perf claims live: ViT-S/16 classification, both the
+plain variant (BASELINE.json config 3 family) and the prepca patch-PCA
+variant (config 2), against a bare-torch ViT-S/16 twin of the reference
+architecture (`/root/reference/src/models/specvit.py` topology with a 2-D
+patch embed, CE loss, AdamW + clip 0.5 — the reference's image-classifier
+recipe, `/root/reference/src/vit.py:66-73` Accuracy contract).
+
+Dataset: a deterministic class-conditional image set sized/shaped like
+CIFAR-10 (32x32x3, 10 classes) — no real CIFAR exists in this offline
+image. Each class is a fixed smooth random template (drawn once from a
+pinned seed, SHARED by train/val/test) and each sample adds iid Gaussian
+pixel noise; ``--amplitude`` controls the template strength so converged
+accuracy sits meaningfully below 100% (the class signal must be integrated
+over many pixels through the noise, not read off one blob). Train/val/test
+are independent draws from the SAME distribution, so converged val_acc is
+an honest generalization number.
+
+All three runs train to convergence on identical arrays; RNG streams
+(init, shuffle, dropout) differ. The claim is equal converged QUALITY.
+Prints one JSON line; exits nonzero if |acc_vit_tpu - acc_torch| exceeds
+--tol (absolute, default 0.03) or either stack fails the ``learned`` gate
+(val_acc <= 3x chance).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import tempfile
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+NUM_CLASSES = 10
+IMAGE_SIZE = 32
+TEMPLATE_SEED = 1234  # templates are THE class definition: never vary
+
+
+def make_noisy_class_images(
+    n: int, seed: int, amplitude: float, sigma: float = 48.0
+) -> dict:
+    """Class-conditional Gaussian-template images, quantized to uint8.
+
+    Template: per-class smooth random field (low-pass by 2x2 box blur of
+    white noise), amplitude-scaled; sample = 128 + amplitude*template +
+    sigma*noise, clipped/quantized. Discriminability is set by
+    amplitude/sigma integrated over all 3072 pixels.
+    """
+    trng = np.random.default_rng(TEMPLATE_SEED)
+    t = trng.standard_normal((NUM_CLASSES, IMAGE_SIZE, IMAGE_SIZE, 3))
+    # cheap low-pass so the signal has spatial structure (not per-pixel salt)
+    t = (t + np.roll(t, 1, 1) + np.roll(t, 1, 2) + np.roll(np.roll(t, 1, 1), 1, 2)) / 4.0
+    t /= t.std(axis=(1, 2, 3), keepdims=True)
+
+    rng = np.random.default_rng(seed)
+    labels = rng.integers(0, NUM_CLASSES, size=n)
+    x = (
+        128.0
+        + amplitude * t[labels]
+        + sigma * rng.standard_normal((n, IMAGE_SIZE, IMAGE_SIZE, 3))
+    )
+    return {
+        "images": np.clip(x, 0, 255).astype(np.uint8),
+        "labels": labels.astype(np.int32),
+    }
+
+
+def _write_splits(root: str, n_train: int, n_eval: int, amplitude: float):
+    paths = {}
+    for name, (n, seed) in {
+        "train": (n_train, 0), "val": (n_eval, 1), "test": (n_eval, 2)
+    }.items():
+        d = make_noisy_class_images(n, seed, amplitude)
+        p = os.path.join(root, f"img10_{name}.npz")
+        np.savez(p, **d)
+        paths[name] = p
+    return paths
+
+
+def _vit_s16_config(paths, epochs, lr, batch, n_train, n_eval):
+    return {
+        "project": "image-accuracy",
+        "model": {
+            "name": "vit-s16", "task_type": "cls", "input_kind": "image",
+            "image_size": IMAGE_SIZE, "patch_size": 4,
+            "num_labels": NUM_CLASSES, "num_channels": 3,
+            "pos_encoding_type": "learned",
+        },
+        "train": {"batch_size": batch, "ep": epochs, "save": False,
+                  "precision": "bf16"},
+        "loss": {"name": "ce"},
+        "opt": {"type": "AdamW", "lr": lr, "weight_decay": 0.05,
+                "lr_sch": "cosine"},
+        "warmup": {"ratio": 0.1},
+        "data": {"file_path": paths["train"], "val_path": paths["val"],
+                 "test_path": paths["test"], "num_samples": n_train,
+                 "num_test_samples": n_eval},
+        "noise": {"noise_level": 0},
+        "viz": {"enable": False},
+    }
+
+
+def run_vit_tpu(cfg: dict, seed: int = 0) -> dict:
+    from vit_tpu.train.loop import Experiment
+
+    exp = Experiment(cfg, seed=seed)
+    metrics = exp.fit()
+    return {"val_acc": float(metrics["val_acc"])}
+
+
+def run_vit_tpu_pca(cfg: dict, paths, workdir: str, seed: int = 0) -> dict:
+    """Driver config 2: patch-level PCA projection in front of the embed
+    (artifact from vit_tpu.prepca.compute_patch_pca_images on the TRAIN
+    split, rank 32 of 48, frozen for the warmup epochs)."""
+    from vit_tpu.prepca.pipeline import compute_patch_pca_images
+
+    images = np.load(paths["train"])["images"]
+    result = compute_patch_pca_images(images, patch_size=4)
+    art = os.path.join(workdir, "pca_patch_img_4.npz")
+    np.savez(
+        art, V=result["components"], mean=result["mean"],
+        explained_variance_ratio=result["explained_variance_ratio"],
+        patch_size=np.asarray(4),
+    )
+    cfg = json.loads(json.dumps(cfg))  # deep copy
+    cfg["warmup"].update(preprocessor="pca", cov_path=art, r=32,
+                         freeze_epochs=2)
+    return run_vit_tpu(cfg, seed=seed)
+
+
+def run_torch_twin(cfg: dict, seed: int = 0) -> dict:
+    import torch
+    import torch.nn as nn
+
+    from vit_tpu.data.images import ImageDataModule
+
+    torch.manual_seed(seed)
+    torch.set_num_threads(max(1, os.cpu_count() or 1))
+
+    dm = ImageDataModule.from_config(cfg)
+    dm.setup("fit")
+    xt = torch.from_numpy(
+        np.asarray(dm.train.model_input, np.float32)
+    ).permute(0, 3, 1, 2).contiguous()
+    yt = torch.from_numpy(np.asarray(dm.train.labels, np.int64))
+    xv = torch.from_numpy(
+        np.asarray(dm.val.model_input, np.float32)
+    ).permute(0, 3, 1, 2).contiguous()
+    yv = torch.from_numpy(np.asarray(dm.val.labels, np.int64))
+
+    m = cfg["model"]
+    H, HEADS, LAYERS, P = 384, 6, 12, int(m["patch_size"])
+
+    class Block(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.ln1 = nn.LayerNorm(H, eps=1e-12)
+            self.attn = nn.MultiheadAttention(H, HEADS, dropout=0.1,
+                                              batch_first=True)
+            self.ln2 = nn.LayerNorm(H, eps=1e-12)
+            self.mlp = nn.Sequential(
+                nn.Linear(H, 4 * H), nn.GELU(), nn.Linear(4 * H, H),
+                nn.Dropout(0.1),
+            )
+            self.drop = nn.Dropout(0.1)
+
+        def forward(self, x):
+            h = self.ln1(x)
+            x = x + self.drop(self.attn(h, h, h, need_weights=False)[0])
+            return x + self.mlp(self.ln2(x))
+
+    n_tok = (IMAGE_SIZE // P) ** 2 + 1
+
+    class Twin(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.embed = nn.Conv2d(3, H, P, stride=P)
+            self.cls = nn.Parameter(torch.randn(1, 1, H))
+            self.pos = nn.Parameter(0.02 * torch.randn(1, n_tok, H))
+            self.blocks = nn.ModuleList(Block() for _ in range(LAYERS))
+            self.ln = nn.LayerNorm(H, eps=1e-12)
+            self.head = nn.Linear(H, NUM_CLASSES)
+
+        def forward(self, x):
+            tok = self.embed(x).flatten(2).transpose(1, 2)
+            tok = torch.cat([self.cls.expand(len(x), 1, H), tok], dim=1)
+            tok = tok + self.pos
+            for blk in self.blocks:
+                tok = blk(tok)
+            return self.head(self.ln(tok)[:, 0])
+
+    model = Twin()
+    epochs, lr = int(cfg["train"]["ep"]), float(cfg["opt"]["lr"])
+    opt = torch.optim.AdamW(model.parameters(), lr=lr,
+                            weight_decay=float(cfg["opt"]["weight_decay"]))
+    sched = torch.optim.lr_scheduler.CosineAnnealingLR(opt, T_max=epochs)
+    loss_fn = nn.CrossEntropyLoss()
+    batch = int(cfg["train"]["batch_size"])
+    rng = np.random.default_rng(seed)
+    n = len(xt)
+    val_acc = 0.0
+    for ep in range(epochs):
+        model.train()
+        perm = rng.permutation(n)
+        for i in range(0, n - batch + 1, batch):
+            idx = perm[i:i + batch]
+            opt.zero_grad(set_to_none=True)
+            loss = loss_fn(model(xt[idx]), yt[idx])
+            loss.backward()
+            torch.nn.utils.clip_grad_norm_(model.parameters(), 0.5)
+            opt.step()
+        sched.step()
+        model.eval()
+        with torch.no_grad():
+            preds = []
+            for i in range(0, len(xv), 256):
+                preds.append(model(xv[i:i + 256]).argmax(-1))
+            val_acc = float((torch.cat(preds) == yv).float().mean())
+        print(f"[torch-twin] epoch {ep}: val_acc={val_acc:.4f}", flush=True)
+    return {"val_acc": val_acc}
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--epochs", type=int, default=30)
+    ap.add_argument("--lr", type=float, default=1e-3)
+    ap.add_argument("--batch", type=int, default=128)
+    ap.add_argument("--n-train", type=int, default=10000)
+    ap.add_argument("--n-eval", type=int, default=2000)
+    ap.add_argument("--amplitude", type=float, default=6.0,
+                    help="class-template strength in uint8 units (sigma=48)")
+    ap.add_argument("--tol", type=float, default=0.03,
+                    help="max |val_acc gap| vs the torch twin (absolute)")
+    ap.add_argument("--skip-pca", action="store_true")
+    ap.add_argument("--skip-torch", action="store_true")
+    ap.add_argument("--workdir", default=None)
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU backend (the axon tunnel ignores "
+                         "JAX_PLATFORMS; must be set before first jax use)")
+    args = ap.parse_args()
+
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+
+    workdir = args.workdir or tempfile.mkdtemp(prefix="img_acc_")
+    os.makedirs(workdir, exist_ok=True)
+    paths = _write_splits(workdir, args.n_train, args.n_eval, args.amplitude)
+    cfg = _vit_s16_config(paths, args.epochs, args.lr, args.batch,
+                          args.n_train, args.n_eval)
+
+    out = {"amplitude": args.amplitude, "epochs": args.epochs,
+           "n_train": args.n_train}
+    out["val_acc_vit_tpu_s16"] = run_vit_tpu(cfg)["val_acc"]
+    if not args.skip_pca:
+        out["val_acc_vit_tpu_s16_pca"] = run_vit_tpu_pca(
+            cfg, paths, workdir
+        )["val_acc"]
+    if not args.skip_torch:
+        out["val_acc_torch_twin_s16"] = run_torch_twin(cfg)["val_acc"]
+
+    chance = 1.0 / NUM_CLASSES
+    out["learned"] = all(
+        v > 3 * chance for k, v in out.items() if k.startswith("val_acc")
+    )
+    ok = out["learned"]
+    if "val_acc_torch_twin_s16" in out:
+        out["acc_gap"] = abs(
+            out["val_acc_vit_tpu_s16"] - out["val_acc_torch_twin_s16"]
+        )
+        out["tol"] = args.tol
+        out["parity"] = out["acc_gap"] <= args.tol
+        ok = ok and out["parity"]
+    print(json.dumps(out))
+    sys.exit(0 if ok else 1)
+
+
+if __name__ == "__main__":
+    main()
