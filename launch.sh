@@ -35,8 +35,8 @@ modes
          (summary.yaml, best_config.yaml); --dry-run previews the grid
   sweep  create a W&B sweep and start one agent (one TPU process/host)
   predict  batch inference with scripts/predict.py; serving flags
-           (--input/--output/--perf-preset/--quantize int8|int8-wo/
-           --precision/--limit/--proba) pass through
+           (--input/--output/--perf-preset/--precision/--limit/--proba/
+           --quantize int8|int8-w8a8|int8-wo/--calibrate) pass through
 
 options
   -c, --config PATH     YAML config (run/test/lr; sweep: the sweep YAML)

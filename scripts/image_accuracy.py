@@ -136,7 +136,7 @@ def run_vit_tpu_pca(cfg: dict, paths, workdir: str, seed: int = 0) -> dict:
     return run_vit_tpu(cfg, seed=seed)
 
 
-def run_torch_twin(cfg: dict, seed: int = 0) -> dict:
+def run_torch_twin(cfg: dict, seed: int = 0, eval_every: int = 1) -> dict:
     import torch
     import torch.nn as nn
 
@@ -218,6 +218,9 @@ def run_torch_twin(cfg: dict, seed: int = 0) -> dict:
             torch.nn.utils.clip_grad_norm_(model.parameters(), 0.5)
             opt.step()
         sched.step()
+        if (ep + 1) % max(1, eval_every) and ep != epochs - 1:
+            print(f"[torch-twin] epoch {ep}: (eval skipped)", flush=True)
+            continue
         model.eval()
         with torch.no_grad():
             preds = []
@@ -241,6 +244,13 @@ def main() -> None:
                     help="max |val_acc gap| vs the torch twin (absolute)")
     ap.add_argument("--skip-pca", action="store_true")
     ap.add_argument("--skip-torch", action="store_true")
+    ap.add_argument("--skip-jax", action="store_true",
+                    help="torch-twin-only stage (the vit_tpu runs use the "
+                         "TPU; the twin is CPU-bound — stage them as "
+                         "separate processes and merge the JSON lines)")
+    ap.add_argument("--eval-every", type=int, default=1,
+                    help="torch twin: evaluate val_acc every N epochs "
+                         "(always evaluates after the last epoch)")
     ap.add_argument("--workdir", default=None)
     ap.add_argument("--cpu", action="store_true",
                     help="force the CPU backend (the axon tunnel ignores "
@@ -260,20 +270,23 @@ def main() -> None:
 
     out = {"amplitude": args.amplitude, "epochs": args.epochs,
            "n_train": args.n_train}
-    out["val_acc_vit_tpu_s16"] = run_vit_tpu(cfg)["val_acc"]
-    if not args.skip_pca:
-        out["val_acc_vit_tpu_s16_pca"] = run_vit_tpu_pca(
-            cfg, paths, workdir
-        )["val_acc"]
+    if not args.skip_jax:
+        out["val_acc_vit_tpu_s16"] = run_vit_tpu(cfg)["val_acc"]
+        if not args.skip_pca:
+            out["val_acc_vit_tpu_s16_pca"] = run_vit_tpu_pca(
+                cfg, paths, workdir
+            )["val_acc"]
     if not args.skip_torch:
-        out["val_acc_torch_twin_s16"] = run_torch_twin(cfg)["val_acc"]
+        out["val_acc_torch_twin_s16"] = run_torch_twin(
+            cfg, eval_every=args.eval_every
+        )["val_acc"]
 
     chance = 1.0 / NUM_CLASSES
     out["learned"] = all(
         v > 3 * chance for k, v in out.items() if k.startswith("val_acc")
     )
     ok = out["learned"]
-    if "val_acc_torch_twin_s16" in out:
+    if "val_acc_torch_twin_s16" in out and "val_acc_vit_tpu_s16" in out:
         out["acc_gap"] = abs(
             out["val_acc_vit_tpu_s16"] - out["val_acc_torch_twin_s16"]
         )

@@ -58,9 +58,14 @@ def main() -> int:
                    help="classification: write softmax probabilities too")
     p.add_argument("--precision", default=None,
                    help="serving compute dtype override (e.g. bf16)")
-    p.add_argument("--quantize", default=None, choices=["int8", "int8-wo"],
-                   help="int8 encoder weights: W8A8 dynamic or weight-only "
-                        "(vit_tpu.ops.quant)")
+    p.add_argument("--quantize", default=None,
+                   choices=["int8", "int8-w8a8", "int8-wo"],
+                   help="int8 encoder weights (vit_tpu.ops.quant): 'int8' "
+                        "auto-routes W8A8/weight-only by batch size; the "
+                        "explicit modes pin the variant")
+    p.add_argument("--calibrate", action="store_true",
+                   help="W8A8: derive static activation scales from the "
+                        "first input batch (quant fuses into preceding ops)")
     p.add_argument("--perf-preset", action="store_true",
                    help="measured serving fast path: bf16 + tanh GELU + "
                         "bf16 softmax (1.53x over fp32 on ViT-B/16)")
@@ -71,13 +76,17 @@ def main() -> int:
 
     from vit_tpu.serve import Predictor
 
+    x = load_inputs(args.input, args.limit)
     pred = Predictor.from_checkpoint(args.config, ckpt=args.ckpt,
                                      batch_size=args.batch_size,
                                      precision=args.precision,
                                      quantize=args.quantize,
+                                     calibration=(
+                                         x[: args.batch_size]
+                                         if args.calibrate else None
+                                     ),
                                      perf_preset=args.perf_preset,
                                      num_devices=args.devices)
-    x = load_inputs(args.input, args.limit)
     out = {"predictions": pred.predict(x)}
     if args.proba and pred.vit_config.task_type == "cls":
         out["probabilities"] = pred.predict_proba(x)

@@ -328,3 +328,99 @@ def test_predictor_perf_preset(trained):
                                      perf_preset=True, quantize="int8-wo")
     out2 = both.predict(flux)
     assert np.abs(out2 - ref).max() < 0.08 * (np.abs(ref).mean() + 1.0)
+
+
+def test_calibrated_static_scales_close_and_fused_shape():
+    """Static per-tensor activation scales (calibrate_activation_scales):
+    every quantized path gains a scalar ``sx``; the calibrated forward
+    stays within the W8A8 error envelope of fp32 on in-distribution data."""
+    from vit_tpu.ops.quant import calibrate_activation_scales
+
+    bundle, params, x = _model()
+    table = quantize_dense_params(params)
+    stripped = strip_quantized(params, table)
+    ctable = calibrate_activation_scales(
+        bundle.module, {"params": stripped}, table, x, deterministic=True
+    )
+    assert set(ctable) == set(table)
+    for e in ctable.values():
+        assert e["sx"].shape == () and e["sx"].dtype == jnp.float32
+        assert float(e["sx"]) > 0
+    ref = np.asarray(
+        bundle.module.apply({"params": params}, x, deterministic=True)
+    )
+    out = np.asarray(
+        quantized_apply(bundle.module, {"params": stripped}, ctable, x,
+                        deterministic=True)
+    )
+    rel = np.abs(out - ref) / (np.abs(ref) + 1e-6)
+    # per-tensor static scales are coarser than per-row dynamic ones —
+    # allow 2x the dynamic test's envelope
+    assert rel.max() < 0.10
+
+
+def test_calibrated_scales_saturate_not_explode():
+    """Inputs beyond the calibrated range saturate at +-127 (bounded error),
+    they must not produce non-finite outputs."""
+    from vit_tpu.ops.quant import calibrate_activation_scales
+
+    bundle, params, x = _model()
+    table = quantize_dense_params(params)
+    ctable = calibrate_activation_scales(
+        bundle.module, {"params": params}, table, x, deterministic=True
+    )
+    out = np.asarray(
+        quantized_apply(bundle.module, {"params": params}, ctable, 10.0 * x,
+                        deterministic=True)
+    )
+    assert np.isfinite(out).all()
+
+
+def test_predictor_int8_auto_routes_by_batch(trained):
+    """quantize='int8' resolves W8A8 below the measured batch crossover and
+    weight-only at/above it; explicit modes pin the variant."""
+    from vit_tpu.ops.quant import W8A8_WO_BATCH_THRESHOLD
+    from vit_tpu.serve import Predictor
+
+    exp, cfg = trained
+    small = Predictor.from_checkpoint(
+        dict(cfg), ckpt="best", batch_size=8, quantize="int8"
+    )
+    assert small.quant_variant == "int8-w8a8"
+    big = Predictor.from_checkpoint(
+        dict(cfg), ckpt="best", batch_size=W8A8_WO_BATCH_THRESHOLD,
+        quantize="int8"
+    )
+    assert big.quant_variant == "int8-wo"
+    pinned = Predictor.from_checkpoint(
+        dict(cfg), ckpt="best", batch_size=W8A8_WO_BATCH_THRESHOLD,
+        quantize="int8-w8a8"
+    )
+    assert pinned.quant_variant == "int8-w8a8"
+    # both routes serve sane predictions
+    flux = exp.datamodule.val.flux[:16]
+    ref = Predictor.from_checkpoint(dict(cfg), ckpt="best",
+                                    batch_size=16).predict(flux)
+    for p in (small, big, pinned):
+        assert np.abs(p.predict(flux) - ref).max() < 0.05 * (
+            np.abs(ref).mean() + 1.0
+        )
+
+
+def test_predictor_calibrated_w8a8(trained):
+    """Predictor(calibration=...) bakes static activation scales into the
+    serving qtable; predictions stay close to fp32."""
+    from vit_tpu.serve import Predictor
+
+    exp, cfg = trained
+    flux = exp.datamodule.val.flux[:24]
+    ref = Predictor.from_checkpoint(dict(cfg), ckpt="best",
+                                    batch_size=16).predict(flux)
+    pc = Predictor.from_checkpoint(
+        dict(cfg), ckpt="best", batch_size=16, quantize="int8-w8a8",
+        calibration=exp.datamodule.val.flux[:16],
+    )
+    assert pc.quant_variant == "int8-w8a8"
+    assert all("sx" in e for e in pc._qtable.values())
+    out = pc.predict(flux)
+    assert np.abs(out - ref).max() < 0.08 * (np.abs(ref).mean() + 1.0)

@@ -50,7 +50,19 @@ __all__ = [
     "strip_quantized",
     "quantized_apply",
     "quantized_size_bytes",
+    "calibrate_activation_scales",
+    "W8A8_WO_BATCH_THRESHOLD",
 ]
+
+# Auto-routing crossover for ``Predictor(quantize="int8")`` (batch size, in
+# samples): below this the forward is weight-streaming / issue-latency bound
+# and W8A8's int8 MXU matmuls win (measured 1.13x at batch 8 on ViT-B/16
+# 224px); at/above it the forward is MXU-bound in bf16 and the dynamic
+# activation quant/dequant cancels the matmul gain (0.98x at batch 128), so
+# weight-only — same 4x HBM cut, no elementwise overhead on the activation
+# path — is the better int8 variant. Measured on v5e (BASELINE.md "Serving");
+# override per-deployment with the explicit "int8-w8a8" / "int8-wo" modes.
+W8A8_WO_BATCH_THRESHOLD = 64
 
 # Module-path components whose Dense layers are never quantized.
 # ``router``: the MoE router's logits feed a discontinuous top_k — near-tie
@@ -111,10 +123,22 @@ def int8_dense(
     wq: jnp.ndarray,
     scale: jnp.ndarray,
     bias: Optional[jnp.ndarray] = None,
+    sx: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
-    """W8A8 Dense: dynamic per-row activation quant, int8 MXU matmul."""
+    """W8A8 Dense: int8 MXU matmul with dynamic or static activation quant.
+
+    ``sx=None`` (default): dynamic per-row symmetric scale from the row max
+    — no calibration needed, but the row-max reduction is an extra
+    non-fusable op per quantized matmul. ``sx`` a static scalar (from
+    :func:`calibrate_activation_scales`): the quant becomes a pure
+    elementwise chain (div/round/clip/cast) that XLA fuses into the
+    preceding LN/GELU, and the dequant ``sx * scale`` constant-folds to one
+    vector — cheaper at MXU-bound batch sizes, at the cost of saturating
+    activations beyond the calibrated range (clip at +-127 absorbs them).
+    """
     xf = x.astype(jnp.float32)
-    sx = jnp.maximum(jnp.max(jnp.abs(xf), axis=-1, keepdims=True), 1e-12) / 127.0
+    if sx is None:
+        sx = jnp.maximum(jnp.max(jnp.abs(xf), axis=-1, keepdims=True), 1e-12) / 127.0
     xq = jnp.clip(jnp.round(xf / sx), -127, 127).astype(jnp.int8)
     y = jax.lax.dot_general(
         xq,
@@ -122,7 +146,7 @@ def int8_dense(
         (((xq.ndim - 1,), (0,)), ((), ())),
         preferred_element_type=jnp.int32,
     )
-    y = y.astype(jnp.float32) * sx * scale
+    y = y.astype(jnp.float32) * (sx * scale)
     if bias is not None:
         y = y + bias
     return y.astype(x.dtype)
@@ -171,10 +195,59 @@ def _make_interceptor(
                         args[0], q["wq"], q["scale"], q["bias"],
                         compute_dtype=compute,
                     )
-                return int8_dense(args[0], q["wq"], q["scale"], q["bias"])
+                return int8_dense(args[0], q["wq"], q["scale"], q["bias"],
+                                  sx=q.get("sx"))
         return next_fun(*args, **kwargs)
 
     return interceptor
+
+
+def calibrate_activation_scales(
+    module: nn.Module,
+    variables,
+    qtable: Mapping[str, Mapping[str, jnp.ndarray]],
+    *args,
+    margin: float = 1.0,
+    **kwargs,
+) -> Dict[str, Dict[str, jnp.ndarray]]:
+    """One calibration forward -> static per-tensor activation scales.
+
+    Runs ``module.apply`` on the calibration batch with the W8A8
+    interceptor active (so each layer sees its true *serving-time* input
+    distribution, downstream of earlier quantized layers), recording
+    ``max|x|`` per quantized Dense. Returns a new qtable whose entries
+    carry ``sx = margin * max|x| / 127`` as a static f32 scalar;
+    :func:`int8_dense` then skips the dynamic row-max. Activations beyond
+    the calibrated range at predict time saturate at +-127 (bounded by the
+    symmetric clip) — use ``margin > 1`` for headroom on narrow
+    calibration batches. Runs eagerly (one un-jitted forward).
+    """
+    maxima: Dict[str, jnp.ndarray] = {}
+    base = _make_interceptor(qtable, weight_only=False)
+
+    def interceptor(next_fun, iargs, ikwargs, context):
+        if context.method_name == "__call__" and isinstance(
+            context.module, nn.Dense
+        ):
+            path = "/".join(context.module.path)
+            if path in qtable:
+                m = jnp.max(jnp.abs(iargs[0].astype(jnp.float32)))
+                prev = maxima.get(path)
+                maxima[path] = m if prev is None else jnp.maximum(prev, m)
+        return base(next_fun, iargs, ikwargs, context)
+
+    with nn.intercept_methods(interceptor):
+        module.apply(variables, *args, **kwargs)
+
+    out: Dict[str, Dict[str, jnp.ndarray]] = {}
+    for path, entry in qtable.items():
+        e = dict(entry)
+        if path in maxima:
+            e["sx"] = (
+                jnp.maximum(maxima[path], 1e-12) * (float(margin) / 127.0)
+            ).astype(jnp.float32)
+        out[path] = e
+    return out
 
 
 def quantized_apply(

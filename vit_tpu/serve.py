@@ -17,9 +17,11 @@ numbers in BASELINE.md "Serving"):
   serve fine; 1.16x over fp32 on ViT-B/16 batch 128).
 * ``perf_preset=True`` — bf16 + tanh GELU + bf16 softmax accumulation:
   1.53x over fp32 serving (3,154 img/s on ViT-B/16 batch 128, v5e).
-* ``quantize="int8"`` / ``"int8-wo"`` — int8 encoder weights
-  (:mod:`vit_tpu.ops.quant`): 4x smaller resident weights (serving
-  density); W8A8 additionally measured 1.13x at batch 8.
+* ``quantize="int8"`` — int8 encoder weights (:mod:`vit_tpu.ops.quant`):
+  4x smaller resident weights (serving density), auto-routed between W8A8
+  (small batch, measured 1.13x at batch 8) and weight-only (large batch)
+  at the measured crossover; ``"int8-w8a8"`` / ``"int8-wo"`` pin the
+  variant, ``calibration=`` enables static activation scales for W8A8.
 
 Example::
 
@@ -40,10 +42,10 @@ __all__ = ["Predictor"]
 
 
 def _check_quantize_mode(quantize: Optional[str]) -> None:
-    if quantize not in (None, "int8", "int8-wo"):
+    if quantize not in (None, "int8", "int8-w8a8", "int8-wo"):
         raise ValueError(
             f"Unsupported quantize mode '{quantize}' "
-            "(expected None, 'int8', or 'int8-wo')"
+            "(expected None, 'int8', 'int8-w8a8', or 'int8-wo')"
         )
 
 
@@ -57,6 +59,7 @@ class Predictor:
         label_norm_stats: Optional[dict] = None,
         batch_size: int = 256,
         quantize: Optional[str] = None,
+        calibration=None,
         num_devices: Optional[int] = None,
         input_shape: Optional[tuple] = None,
     ) -> None:
@@ -119,6 +122,7 @@ class Predictor:
                 in_shardings=(repl,) * n_weight_args + (bshard,),
                 out_shardings=bshard,
             )
+        self.quant_variant = None
         if quantize is None:
             if self.mesh is not None:
                 self.params = jax.device_put(self.params, repl)
@@ -148,6 +152,8 @@ class Predictor:
                     "model.fused_qkv=False (identical math)"
                 )
             from vit_tpu.ops.quant import (
+                W8A8_WO_BATCH_THRESHOLD,
+                calibrate_activation_scales,
                 quantize_dense_params,
                 quantized_apply,
                 strip_quantized,
@@ -164,10 +170,31 @@ class Predictor:
                     "UNQUANTIZED at full resident size"
                 )
             self.params = strip_quantized(self.params, self._qtable)
+            # "int8" auto-routes by batch size (measured crossover — see
+            # W8A8_WO_BATCH_THRESHOLD and BASELINE.md "Serving"): small
+            # batches are weight-streaming bound and W8A8's int8 MXU
+            # matmuls win; large batches are MXU-bound in bf16 and the
+            # dynamic quant/dequant cancels the gain, so weight-only keeps
+            # the 4x HBM cut without the activation-path overhead.
+            # "int8-w8a8" / "int8-wo" pin the variant explicitly.
+            weight_only = quantize == "int8-wo" or (
+                quantize == "int8"
+                and self.batch_size >= W8A8_WO_BATCH_THRESHOLD
+            )
+            self.quant_variant = "int8-wo" if weight_only else "int8-w8a8"
+            if calibration is not None and not weight_only and self._qtable:
+                # Static per-tensor activation scales: the quant becomes a
+                # fusable elementwise chain (no per-row max reduction).
+                calib = jnp.asarray(
+                    np.asarray(calibration, np.float32)[: self.batch_size]
+                )
+                self._qtable = calibrate_activation_scales(
+                    module, {"params": self.params}, self._qtable, calib,
+                    deterministic=True,
+                )
             if self.mesh is not None:
                 self.params = jax.device_put(self.params, repl)
                 self._qtable = jax.device_put(self._qtable, repl)
-            weight_only = quantize == "int8-wo"
             self._forward = jax.jit(
                 lambda p, q, x: quantized_apply(
                     module, {"params": p}, q, x, deterministic=True,
@@ -188,6 +215,7 @@ class Predictor:
         batch_size: int = 256,
         precision: Optional[str] = None,
         quantize: Optional[str] = None,
+        calibration=None,
         perf_preset: bool = False,
         num_devices: Optional[int] = None,
     ) -> "Predictor":
@@ -196,9 +224,14 @@ class Predictor:
         ``ckpt``: ``best`` | ``last`` | orbax dir | torch ``.pt``/``.ckpt``.
         ``precision``: serving compute dtype override (e.g. ``"bf16"``) —
         params stay fp32, matmuls run in the given dtype (fp32-trained
-        checkpoints serve fine in bf16). ``quantize``: ``"int8"`` (W8A8
-        dynamic) or ``"int8-wo"`` (weight-only) for the encoder Dense
-        layers (:mod:`vit_tpu.ops.quant`). ``perf_preset=True`` applies the
+        checkpoints serve fine in bf16). ``quantize``: ``"int8"``
+        (auto-routes W8A8 below / weight-only at-or-above the measured
+        batch crossover), ``"int8-w8a8"`` (pin dynamic W8A8), or
+        ``"int8-wo"`` (pin weight-only) for the encoder Dense layers
+        (:mod:`vit_tpu.ops.quant`). ``calibration``: optional array of
+        representative inputs — W8A8 then uses static per-tensor
+        activation scales (the quant fuses into the preceding ops instead
+        of paying a per-row max reduction). ``perf_preset=True`` applies the
         measured serving fast path — bf16 compute (unless ``precision`` is
         given) + tanh GELU + bf16 softmax accumulation: 1.53x over fp32
         serving on ViT-B/16 batch 128 (BASELINE.md "Serving" table), at the
@@ -294,6 +327,7 @@ class Predictor:
             label_norm_stats=meta.get("label_norm_stats"),
             batch_size=batch_size,
             quantize=quantize,
+            calibration=calibration,
             num_devices=num_devices,
             input_shape=tuple(dummy.shape[1:]),
         )
