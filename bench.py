@@ -467,14 +467,23 @@ def bench_longctx_train():
 
 def bench_serving():
     """ViT-B/16 batch-128 inference (vit_tpu.serve's deployment shape):
-    bf16 vs the serving perf preset (bf16 + tanh GELU + bf16 softmax).
-    Measured by amortizing IMG_STEPS forwards inside one scan dispatch with
-    a hard host sync. int8 modes are NOT timed here — their measured value
-    is resident-weight size, not batch-128 speed (BASELINE.md "Serving")."""
+    bf16, the serving perf preset (bf16 + tanh GELU + bf16 softmax), and
+    calibrated static-scale W8A8 int8 (the round-5 winner: 1.15x over
+    bf16 at batch 128 — BASELINE.md round-5 "Serving"). Measured by
+    amortizing IMG_STEPS forwards inside one scan dispatch with a hard
+    host sync. Dynamic-W8A8/weight-only are NOT timed here — measured
+    0.98-0.99x at this batch; their value is small-batch speed and
+    resident-weight size."""
     import jax
     import jax.numpy as jnp
 
     from vit_tpu.models.builder import get_model
+    from vit_tpu.ops.quant import (
+        calibrate_activation_scales,
+        quantize_dense_params,
+        quantized_apply,
+        strip_quantized,
+    )
 
     BATCH_SERVE = 128
     rng = np.random.default_rng(0)
@@ -519,6 +528,38 @@ def bench_serving():
             lambda run=run, params=params: run(params, x), IMG_STEPS
         )
         out[f"{tag}_ips"] = round(BATCH_SERVE / dt, 1)
+
+        if tag != "serve_b16_bf16":
+            continue
+        # Calibrated W8A8 on the same (non-preset) module: one eager
+        # calibration forward on a 32-sample slice, then the timed scan.
+        table = quantize_dense_params(params)
+        stripped = strip_quantized(params, table)
+        ctable = calibrate_activation_scales(
+            module, {"params": stripped}, table, x[:32], deterministic=True
+        )
+
+        @jax.jit
+        def run_q(p, q, xx):
+            def body(carry, _):
+                logits = quantized_apply(
+                    module, {"params": p}, q, xx + carry * 1e-30,
+                    deterministic=True,
+                )
+                return carry + logits.sum().astype(jnp.float32) * 1e-30, None
+
+            acc, _ = jax.lax.scan(
+                body, jnp.zeros((), jnp.float32), None, length=IMG_STEPS
+            )
+            return acc
+
+        dt = _timed_dispatch(
+            lambda run_q=run_q, stripped=stripped, ctable=ctable: run_q(
+                stripped, ctable, x
+            ),
+            IMG_STEPS,
+        )
+        out["serve_b16_int8_calib_ips"] = round(BATCH_SERVE / dt, 1)
     return out
 
 

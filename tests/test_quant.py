@@ -424,3 +424,27 @@ def test_predictor_calibrated_w8a8(trained):
     assert all("sx" in e for e in pc._qtable.values())
     out = pc.predict(flux)
     assert np.abs(out - ref).max() < 0.08 * (np.abs(ref).mean() + 1.0)
+
+
+def test_predictor_calibration_overrides_batch_route(trained):
+    """With a calibration batch, quantize='int8' routes W8A8 even at/above
+    the weight-only batch crossover (calibrated static-scale W8A8 measured
+    faster than bf16 AND weight-only at every batch size — BASELINE.md
+    round-5 'Serving')."""
+    from vit_tpu.ops.quant import W8A8_WO_BATCH_THRESHOLD
+    from vit_tpu.serve import Predictor
+
+    exp, cfg = trained
+    big = Predictor.from_checkpoint(
+        dict(cfg), ckpt="best", batch_size=W8A8_WO_BATCH_THRESHOLD,
+        quantize="int8",
+        calibration=exp.datamodule.val.flux[:16],
+    )
+    assert big.quant_variant == "int8-w8a8"
+    assert all("sx" in e for e in big._qtable.values())
+    flux = exp.datamodule.val.flux[:16]
+    ref = Predictor.from_checkpoint(dict(cfg), ckpt="best",
+                                    batch_size=16).predict(flux)
+    assert np.abs(big.predict(flux) - ref).max() < 0.08 * (
+        np.abs(ref).mean() + 1.0
+    )

@@ -54,13 +54,16 @@ __all__ = [
     "W8A8_WO_BATCH_THRESHOLD",
 ]
 
-# Auto-routing crossover for ``Predictor(quantize="int8")`` (batch size, in
-# samples): below this the forward is weight-streaming / issue-latency bound
-# and W8A8's int8 MXU matmuls win (measured 1.13x at batch 8 on ViT-B/16
-# 224px); at/above it the forward is MXU-bound in bf16 and the dynamic
-# activation quant/dequant cancels the matmul gain (0.98x at batch 128), so
-# weight-only — same 4x HBM cut, no elementwise overhead on the activation
-# path — is the better int8 variant. Measured on v5e (BASELINE.md "Serving");
+# Auto-routing crossover for UNCALIBRATED ``Predictor(quantize="int8")``
+# (batch size, in samples): below this the forward is weight-streaming /
+# issue-latency bound and dynamic W8A8's int8 MXU matmuls win (measured
+# 1.14x at batch 8 on ViT-B/16 224px); at/above it the forward is
+# MXU-bound in bf16 and the dynamic per-row activation quant/dequant
+# cancels the matmul gain (0.98x at batch 128), so weight-only — same 4x
+# HBM cut, no elementwise overhead on the activation path — is the better
+# int8 variant. With a calibration batch the threshold is moot: static-
+# scale W8A8 wins at every measured batch size (1.15x at 128, 1.20x at 8)
+# and "int8" always routes W8A8. Measured on v5e (BASELINE.md "Serving");
 # override per-deployment with the explicit "int8-w8a8" / "int8-wo" modes.
 W8A8_WO_BATCH_THRESHOLD = 64
 

@@ -18,10 +18,13 @@ numbers in BASELINE.md "Serving"):
 * ``perf_preset=True`` — bf16 + tanh GELU + bf16 softmax accumulation:
   1.53x over fp32 serving (3,154 img/s on ViT-B/16 batch 128, v5e).
 * ``quantize="int8"`` — int8 encoder weights (:mod:`vit_tpu.ops.quant`):
-  4x smaller resident weights (serving density), auto-routed between W8A8
-  (small batch, measured 1.13x at batch 8) and weight-only (large batch)
-  at the measured crossover; ``"int8-w8a8"`` / ``"int8-wo"`` pin the
-  variant, ``calibration=`` enables static activation scales for W8A8.
+  4x smaller resident weights (serving density). With ``calibration=``
+  (a batch of representative inputs) W8A8 uses static activation scales
+  and beats bf16 at every measured batch size (**1.15x at batch 128,
+  1.20x at batch 8** on ViT-B/16 v5e); without one, auto-routed between
+  dynamic W8A8 (small batch, 1.14x at 8) and weight-only (large batch)
+  at the measured crossover. ``"int8-w8a8"`` / ``"int8-wo"`` pin the
+  variant.
 
 Example::
 
@@ -170,15 +173,21 @@ class Predictor:
                     "UNQUANTIZED at full resident size"
                 )
             self.params = strip_quantized(self.params, self._qtable)
-            # "int8" auto-routes by batch size (measured crossover — see
-            # W8A8_WO_BATCH_THRESHOLD and BASELINE.md "Serving"): small
-            # batches are weight-streaming bound and W8A8's int8 MXU
-            # matmuls win; large batches are MXU-bound in bf16 and the
-            # dynamic quant/dequant cancels the gain, so weight-only keeps
-            # the 4x HBM cut without the activation-path overhead.
-            # "int8-w8a8" / "int8-wo" pin the variant explicitly.
+            # "int8" auto-routes (measured, BASELINE.md "Serving"):
+            # with a calibration batch, static-scale W8A8 wins at EVERY
+            # measured batch size (1.15x at 128, 1.20x at 8 vs bf16 —
+            # the quant fuses into the preceding ops, so the int8 MXU
+            # rate shows through) and always routes W8A8. Without one,
+            # the route is by batch size: small batches are
+            # weight-streaming bound and dynamic W8A8 wins (1.14x at 8);
+            # at/above W8A8_WO_BATCH_THRESHOLD the forward is MXU-bound
+            # in bf16 and the per-row quant/dequant cancels the gain
+            # (0.98x at 128), so weight-only keeps the 4x HBM cut
+            # without the activation-path overhead. "int8-w8a8" /
+            # "int8-wo" pin the variant explicitly.
             weight_only = quantize == "int8-wo" or (
                 quantize == "int8"
+                and calibration is None
                 and self.batch_size >= W8A8_WO_BATCH_THRESHOLD
             )
             self.quant_variant = "int8-wo" if weight_only else "int8-w8a8"
@@ -225,13 +234,16 @@ class Predictor:
         ``precision``: serving compute dtype override (e.g. ``"bf16"``) —
         params stay fp32, matmuls run in the given dtype (fp32-trained
         checkpoints serve fine in bf16). ``quantize``: ``"int8"``
-        (auto-routes W8A8 below / weight-only at-or-above the measured
-        batch crossover), ``"int8-w8a8"`` (pin dynamic W8A8), or
-        ``"int8-wo"`` (pin weight-only) for the encoder Dense layers
-        (:mod:`vit_tpu.ops.quant`). ``calibration``: optional array of
-        representative inputs — W8A8 then uses static per-tensor
-        activation scales (the quant fuses into the preceding ops instead
-        of paying a per-row max reduction). ``perf_preset=True`` applies the
+        (auto-routes: calibrated W8A8 whenever ``calibration`` is given —
+        it wins at every measured batch size — else dynamic W8A8 below /
+        weight-only at-or-above the measured batch crossover),
+        ``"int8-w8a8"`` (pin W8A8), or ``"int8-wo"`` (pin weight-only)
+        for the encoder Dense layers (:mod:`vit_tpu.ops.quant`).
+        ``calibration``: optional array of representative inputs — W8A8
+        then uses static per-tensor activation scales (the quant fuses
+        into the preceding ops instead of paying a per-row max
+        reduction; 1.15x over bf16 at batch 128 on ViT-B/16 v5e).
+        ``perf_preset=True`` applies the
         measured serving fast path — bf16 compute (unless ``precision`` is
         given) + tanh GELU + bf16 softmax accumulation: 1.53x over fp32
         serving on ViT-B/16 batch 128 (BASELINE.md "Serving" table), at the
