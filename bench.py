@@ -467,13 +467,14 @@ def bench_longctx_train():
 
 def bench_serving():
     """ViT-B/16 batch-128 inference (vit_tpu.serve's deployment shape):
-    bf16, the serving perf preset (bf16 + tanh GELU + bf16 softmax), and
-    calibrated static-scale W8A8 int8 (the round-5 winner: 1.15x over
-    bf16 at batch 128 — BASELINE.md round-5 "Serving"). Measured by
-    amortizing IMG_STEPS forwards inside one scan dispatch with a hard
-    host sync. Dynamic-W8A8/weight-only are NOT timed here — measured
-    0.98-0.99x at this batch; their value is small-batch speed and
-    resident-weight size."""
+    bf16, the serving perf preset (bf16 + tanh GELU + bf16 softmax),
+    calibrated static-scale W8A8 int8 (1.15x over bf16 at batch 128 —
+    BASELINE.md round-5 "Serving"), and the preset x int8 composition
+    (the round-5 serving best: 4,052 img/s standalone probe, 1.68x over
+    plain bf16). Measured by amortizing IMG_STEPS forwards inside one
+    scan dispatch with a hard host sync. Dynamic-W8A8/weight-only are
+    NOT timed here — measured 0.98-0.99x at this batch; their value is
+    small-batch speed and resident-weight size."""
     import jax
     import jax.numpy as jnp
 
@@ -529,10 +530,10 @@ def bench_serving():
         )
         out[f"{tag}_ips"] = round(BATCH_SERVE / dt, 1)
 
-        if tag != "serve_b16_bf16":
-            continue
-        # Calibrated W8A8 on the same (non-preset) module: one eager
-        # calibration forward on a 32-sample slice, then the timed scan.
+        # Calibrated W8A8 on both modules: one eager calibration forward
+        # on a 32-sample slice, then the timed scan. On the preset module
+        # this is the composed serving best (preset epsilon-ops + int8
+        # MXU matmuls stack — 4,052 img/s in the round-5 probe).
         table = quantize_dense_params(params)
         stripped = strip_quantized(params, table)
         ctable = calibrate_activation_scales(
@@ -559,7 +560,12 @@ def bench_serving():
             ),
             IMG_STEPS,
         )
-        out["serve_b16_int8_calib_ips"] = round(BATCH_SERVE / dt, 1)
+        key = (
+            "serve_b16_int8_calib_ips"
+            if tag == "serve_b16_bf16"
+            else "serve_b16_preset_int8_ips"
+        )
+        out[key] = round(BATCH_SERVE / dt, 1)
     return out
 
 

@@ -328,6 +328,15 @@ def test_predictor_perf_preset(trained):
                                      perf_preset=True, quantize="int8-wo")
     out2 = both.predict(flux)
     assert np.abs(out2 - ref).max() < 0.08 * (np.abs(ref).mean() + 1.0)
+    # The recommended deployment configuration (BASELINE.md round-5
+    # "Serving": 4,052 img/s = 1.68x bf16 on ViT-B/16 v5e): preset +
+    # calibrated static-scale W8A8.
+    deploy = Predictor.from_checkpoint(dict(cfg), ckpt="best", batch_size=16,
+                                       perf_preset=True, quantize="int8",
+                                       calibration=flux)
+    out3 = deploy.predict(flux)
+    assert np.isfinite(out3).all()
+    assert np.abs(out3 - ref).max() < 0.08 * (np.abs(ref).mean() + 1.0)
 
 
 def test_calibrated_static_scales_close_and_fused_shape():
